@@ -1,0 +1,269 @@
+"""Minimizer index + seed-chain-extend read mapper (built-in aligner core).
+
+The reference requires an external minimap2 or bwa binary and round-trips
+reads through temp FASTA/SAM files per batch (myDetect.py:397-424). This
+module provides the in-process replacement: a minimap2-style (k, w)
+minimizer index over the reference genome, anchor chaining per strand,
+and edit-distance stitching of inter-anchor gaps into a CIGAR
+(deepmod_tpu.align.dp). Everything host-side is vectorized numpy; this is
+CPU feeding code, deliberately kept off the TPU.
+
+Algorithm (standard minimizer mapping, written from scratch):
+  1. 2-bit encode; rolling k-mer codes; mix with a splitmix64 finalizer.
+  2. minimizers = per-window (w) minima of the hash sequence.
+  3. query seeds on both strands; anchors grouped by diagonal; the best
+     diagonal band wins; anchors in band are chained monotonically.
+  4. gaps between anchors (and read tails) aligned by banded edit
+     distance; runs merged into a CIGAR with soft-clipped tails.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from deepmod_tpu.utils.common import reverse_complement
+from .dp import global_align_ops, merge_ops, ops_to_cigar
+from .sam import SamRecord
+
+_BASE_CODE = np.full(256, 255, np.uint8)
+for _i, _b in enumerate("ACGT"):
+    _BASE_CODE[ord(_b)] = _i
+    _BASE_CODE[ord(_b.lower())] = _i
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def _kmer_hashes(seq: str, k: int) -> np.ndarray:
+    """Hashed k-mer codes; kmers containing non-ACGT get uint64 max."""
+    codes = _BASE_CODE[np.frombuffer(seq.encode(), np.uint8)]
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, np.uint64)
+    valid = codes != 255
+    codes64 = np.where(valid, codes, 0).astype(np.uint64)
+    kmers = np.zeros(n, np.uint64)
+    ok = np.ones(n, bool)
+    for offset in range(k):
+        kmers = (kmers << np.uint64(2)) | codes64[offset : offset + n]
+        ok &= valid[offset : offset + n]
+    hashes = _splitmix64(kmers)
+    hashes[~ok] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return hashes
+
+
+def _minimizers(seq: str, k: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(positions, hashes) of (k, w) minimizers."""
+    hashes = _kmer_hashes(seq, k)
+    if len(hashes) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    if len(hashes) <= w:
+        pos = np.array([int(np.argmin(hashes))], np.int64)
+        return pos, hashes[pos]
+    windows = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    mins = windows.argmin(axis=1) + np.arange(len(windows))
+    pos = np.unique(mins)
+    sel = hashes[pos]
+    keep = sel != np.uint64(0xFFFFFFFFFFFFFFFF)
+    return pos[keep], sel[keep]
+
+
+@dataclasses.dataclass
+class _Chain:
+    rid: int          # reference sequence id
+    strand: str
+    anchors_q: np.ndarray
+    anchors_r: np.ndarray
+    score: int
+
+
+class MinimizerIndex:
+    """Reference-genome minimizer index (host-side, replicated per host)."""
+
+    def __init__(self, seqs: Dict[str, str], k: int = 15, w: int = 10,
+                 max_hits: int = 64):
+        self.k = k
+        self.w = w
+        self.max_hits = max_hits
+        self.names: List[str] = list(seqs.keys())
+        self.seqs: List[str] = [seqs[n] for n in self.names]
+        # hash -> concatenated (rid, pos) hit lists, built via sorting
+        all_hash = []
+        all_rid = []
+        all_pos = []
+        for rid, seq in enumerate(self.seqs):
+            pos, hsh = _minimizers(seq, k, w)
+            all_hash.append(hsh)
+            all_rid.append(np.full(len(pos), rid, np.int32))
+            all_pos.append(pos.astype(np.int64))
+        hashes = np.concatenate(all_hash) if all_hash else np.empty(0, np.uint64)
+        rids = np.concatenate(all_rid) if all_rid else np.empty(0, np.int32)
+        positions = np.concatenate(all_pos) if all_pos else np.empty(0, np.int64)
+        order = np.argsort(hashes, kind="stable")
+        self._hashes = hashes[order]
+        self._rids = rids[order]
+        self._positions = positions[order]
+
+    def lookup(self, query_hashes: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """For each query hash, all index hits: (query_idx, rid, rpos)."""
+        left = np.searchsorted(self._hashes, query_hashes, side="left")
+        right = np.searchsorted(self._hashes, query_hashes, side="right")
+        counts = np.minimum(right - left, self.max_hits)
+        total = int(counts.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 3
+        qidx = np.repeat(np.arange(len(query_hashes)), counts)
+        offsets = np.concatenate(
+            [np.arange(c) + l for l, c in zip(left, counts) if c > 0]
+        )
+        return qidx, self._rids[offsets].astype(np.int64), self._positions[offsets]
+
+
+def _best_chain(
+    qpos: np.ndarray, rid: np.ndarray, rpos: np.ndarray, strand: str,
+    band: int = 500,
+) -> Optional[_Chain]:
+    """Pick the densest diagonal band per rid and chain its anchors."""
+    if len(qpos) == 0:
+        return None
+    best: Optional[_Chain] = None
+    for cur_rid in np.unique(rid):
+        mask = rid == cur_rid
+        q = qpos[mask]
+        r = rpos[mask]
+        diag = r - q
+        # histogram diagonals into `band`-wide bins; densest bin wins
+        bins = diag // band
+        uniq, counts = np.unique(bins, return_counts=True)
+        # consider the top bin together with each neighbor bin
+        top = uniq[np.argmax(counts)]
+        sel = (bins == top) | (bins == top - 1) | (bins == top + 1)
+        q_sel, r_sel = q[sel], r[sel]
+        order = np.argsort(q_sel, kind="stable")
+        q_sel, r_sel = q_sel[order], r_sel[order]
+        # greedy monotonic chain: keep anchors with increasing rpos
+        keep_q: List[int] = []
+        keep_r: List[int] = []
+        last_r = -1
+        last_q = -1
+        for qq, rr in zip(q_sel, r_sel):
+            if rr > last_r and qq > last_q:
+                keep_q.append(int(qq))
+                keep_r.append(int(rr))
+                last_r = int(rr)
+                last_q = int(qq)
+        if len(keep_q) == 0:
+            continue
+        chain = _Chain(
+            rid=int(cur_rid),
+            strand=strand,
+            anchors_q=np.asarray(keep_q, np.int64),
+            anchors_r=np.asarray(keep_r, np.int64),
+            score=len(keep_q),
+        )
+        if best is None or chain.score > best.score:
+            best = chain
+    return best
+
+
+class BuiltinAligner:
+    """Map reads against a MinimizerIndex, emitting SAM-equivalent records."""
+
+    def __init__(self, index: MinimizerIndex, min_chain_anchors: int = 3,
+                 tail_flank: int = 32):
+        self.index = index
+        self.min_chain_anchors = min_chain_anchors
+        self.tail_flank = tail_flank
+
+    def map_read(self, name: str, seq: str) -> Optional[SamRecord]:
+        k = self.index.k
+        candidates: List[_Chain] = []
+        oriented = {"+": seq, "-": reverse_complement(seq)}
+        for strand, oseq in oriented.items():
+            pos, hsh = _minimizers(oseq, k, self.index.w)
+            if len(pos) == 0:
+                continue
+            qidx, rid, rpos = self.index.lookup(hsh)
+            chain = _best_chain(pos[qidx], rid, rpos, strand)
+            if chain is not None and chain.score >= self.min_chain_anchors:
+                candidates.append(chain)
+        if not candidates:
+            return None
+        candidates.sort(key=lambda c: -c.score)
+        chain = candidates[0]
+        mapq = 60
+        if len(candidates) > 1 and candidates[1].score >= 0.9 * chain.score:
+            mapq = 3
+
+        oseq = oriented[chain.strand]
+        ref = self.index.seqs[chain.rid]
+        ops: List[Tuple[str, int]] = []
+
+        q0 = int(chain.anchors_q[0])
+        r0 = int(chain.anchors_r[0])
+        # left tail: align the read head against the same-length ref window
+        # ending at the first anchor (any overhang becomes leading I ops,
+        # which downstream clip-stripping absorbs)
+        head_q = oseq[:q0]
+        soft_left = 0
+        if head_q:
+            head_r_start = r0 - min(len(head_q), r0)
+            if r0 > head_r_start:
+                ops.extend(global_align_ops(head_q, ref[head_r_start:r0]))
+                map_start = head_r_start
+            else:
+                soft_left = len(head_q)
+                map_start = r0
+        else:
+            map_start = r0
+
+        # chain body
+        prev_q, prev_r = q0, r0
+        for aq, ar in zip(chain.anchors_q[1:], chain.anchors_r[1:]):
+            aq, ar = int(aq), int(ar)
+            dq, dr = aq - prev_q, ar - prev_r
+            if dq == dr:
+                ops.append(("M", dq))
+            else:
+                ops.extend(global_align_ops(oseq[prev_q:aq], ref[prev_r:ar]))
+            prev_q, prev_r = aq, ar
+        # last anchor's k-mer is an exact match
+        ops.append(("M", k))
+        prev_q += k
+        prev_r += k
+
+        # right tail
+        tail_q = oseq[prev_q:]
+        soft_right = 0
+        if tail_q:
+            tail_r_end = min(prev_r + len(tail_q), len(ref))
+            if tail_r_end > prev_r:
+                ops.extend(global_align_ops(tail_q, ref[prev_r:tail_r_end]))
+            else:
+                soft_right = len(tail_q)
+
+        full_ops: List[Tuple[str, int]] = []
+        if soft_left:
+            full_ops.append(("S", soft_left))
+        full_ops.extend(ops)
+        if soft_right:
+            full_ops.append(("S", soft_right))
+        cigar = ops_to_cigar(merge_ops(full_ops))
+
+        return SamRecord(
+            qname=name,
+            flag=16 if chain.strand == "-" else 0,
+            rname=self.index.names[chain.rid],
+            pos=map_start + 1,  # SAM is 1-based
+            mapq=mapq,
+            cigar=cigar,
+            seq=oseq,
+        )

@@ -1,0 +1,196 @@
+"""Fast5 ingestion: channel info, basecalls, raw signal, events.
+
+Replicates the reference read path (myDetect.py:33-386):
+  channel attrs -> basecaller version -> Fastq (read id + sequence) ->
+  raw signal -> event table (v1 / v2-simple / rundif / move) ->
+  median-MAD normalization -> per-event mean/std.
+
+Errors use the reference's error-class strings so the operational census
+(ErrorCensus) is comparable run-to-run with the reference's output
+(myDetect.py:1222-1226).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from deepmod_tpu.utils import ErrorCensus
+from .events import (
+    EventError,
+    collapse_events_v1,
+    collapse_events_v2,
+    move_table_events,
+    resegment_events,
+)
+from .signal_norm import SignalRangeError, event_mean_std, normalize_signal
+
+# HDF5 path fragments (myCom.py:51-56, myDetect.py:31-37)
+CHANNEL_PATH = "UniqueGlobalKey/channel_id"
+ANALYSES = "Analyses"
+RAW_READS = "/Raw/Reads"
+
+
+@dataclasses.dataclass
+class Fast5ReadOptions:
+    """Subset of moptions consumed by ingestion (bin/DeepMod.py:305-319)."""
+
+    basecall_1d: str = "Basecall_1D_000"
+    basecall_2strand: str = "BaseCalled_template"
+    signal_group: str = "simple"  # 'simple' or 'rundif'
+    move: bool = False
+
+
+@dataclasses.dataclass
+class Fast5Read:
+    """One ingested read (the f5data tuple of myDetect.py:373)."""
+
+    read_id: str
+    basecall: str
+    m_event: np.ndarray           # EVENT_DTYPE
+    raw_signals: np.ndarray       # normalized
+    path: str
+    left_right_skip: Tuple[int, int]
+    albacore_version: str = "0.0"
+
+
+def _version_class(version_str: str) -> int:
+    """1 for albacore <2.0, 2 for >=2.0 (myDetect.py:61-78)."""
+    try:
+        major = int(str(version_str).split(".")[0])
+    except (ValueError, IndexError):
+        return 1
+    return 2 if major >= 2 else 1
+
+
+def _decode(value) -> str:
+    if isinstance(value, bytes):
+        return value.decode("utf-8")
+    return str(value)
+
+
+def _basecall_from_states(states: np.ndarray) -> str:
+    """Center base of each 5-mer model_state (myDetect.py:237)."""
+    as_u1 = states.astype("U5").view("U1").reshape(len(states), -1)
+    return "".join(as_u1[:, 2])
+
+
+def read_fast5_file(
+    path: str, options: Fast5ReadOptions | None = None
+) -> Fast5Read:
+    """Ingest one fast5; raises EventError/SignalRangeError/KeyError with
+    reference-style error-class messages on malformed files."""
+    import h5py
+
+    options = options or Fast5ReadOptions()
+    with h5py.File(path, "r") as f5:
+        # channel info (myDetect.py:45-51)
+        try:
+            channel = dict(f5[CHANNEL_PATH].attrs)
+            sampling_rate = float(channel["sampling_rate"])
+        except Exception as exc:
+            raise EventError("Channel information could not be found") from exc
+
+        base_path = f"/{ANALYSES}/{options.basecall_1d}"
+        try:
+            version = _decode(f5[base_path].attrs.get("version", "0.0"))
+        except Exception:
+            version = "0.0"
+        version_class = _version_class(version)
+
+        # fastq (myDetect.py:313-322)
+        fq_path = f"{base_path}/{options.basecall_2strand}/Fastq"
+        try:
+            fq_data = _decode(f5[fq_path][()]).split("\n")
+        except Exception as exc:
+            raise EventError("No Fastq data") from exc
+        header = fq_data[0]
+        read_id = (header[1:] if header.startswith("@") else header)
+        read_id = read_id.replace(" ", ":::").replace("\t", "|||")
+        fq_seq = fq_data[1]
+
+        # raw signal + attrs (myDetect.py:287-297)
+        try:
+            raw_group = next(iter(f5[RAW_READS].values()))
+            raw_attributes = dict(raw_group.attrs)
+            raw_signals = np.asarray(raw_group["Signal"][()])
+        except Exception as exc:
+            raise EventError("No Raw_reads/Signal") from exc
+
+        # events -> m_event (myDetect.py:133-261)
+        if options.move:
+            mv_path = f"{base_path}/{options.basecall_2strand}/Move"
+            try:
+                move_data = np.asarray(f5[mv_path][()])
+            except Exception as exc:
+                raise EventError("No move data") from exc
+            seg = "Segmentation_" + options.basecall_1d.split("_")[-1]
+            seg_attrs = f5[f"/{ANALYSES}/{seg}/Summary/segmentation"].attrs
+            m_event, skip = move_table_events(
+                move_data,
+                raw_signals,
+                fq_seq,
+                int(seg_attrs["first_sample_template"]),
+            )
+            basecall = fq_seq
+        else:
+            ev_path = f"{base_path}/{options.basecall_2strand}/Events"
+            try:
+                events_data = np.asarray(f5[ev_path][()])
+            except Exception as exc:
+                raise EventError("No events data") from exc
+            if version_class == 1:
+                start_time = int(raw_attributes.get("start_time", 0))
+                m_event, skip = collapse_events_v1(
+                    events_data, sampling_rate, start_time
+                )
+            elif options.signal_group == "simple":
+                m_event, skip = collapse_events_v2(events_data)
+            else:
+                m_event, skip = resegment_events(events_data, raw_signals, fq_seq)
+            basecall = _basecall_from_states(m_event["model_state"])
+
+    span_start = int(m_event["start"][0])
+    span_end = int(m_event["start"][-1] + m_event["length"][-1])
+    raw_signals = normalize_signal(raw_signals, span_start, span_end)
+    m_event, n_valid = event_mean_std(m_event, raw_signals)
+    if n_valid < len(basecall):
+        basecall = basecall[:n_valid]
+
+    return Fast5Read(
+        read_id=read_id,
+        basecall=basecall,
+        m_event=m_event,
+        raw_signals=raw_signals,
+        path=path,
+        left_right_skip=skip,
+        albacore_version=version,
+    )
+
+
+def read_fast5_batch(
+    paths: List[str],
+    options: Fast5ReadOptions | None = None,
+    errors: Optional[ErrorCensus] = None,
+) -> Dict[str, Fast5Read]:
+    """Ingest a batch; failures are recorded, never fatal
+    (get_Event_Signals, myDetect.py:348-386)."""
+    errors = errors if errors is not None else ErrorCensus()
+    out: Dict[str, Fast5Read] = {}
+    for path in paths:
+        try:
+            read = read_fast5_file(path, options)
+        except (EventError, SignalRangeError) as exc:
+            errors.add(str(exc), path)
+            continue
+        except Exception:
+            errors.add("Cannot open fast5 or other errors", path)
+            continue
+        if read.read_id in out:
+            # duplicate ids overwrite, like f5data[read_id] = ... after the
+            # reference's warning print (myDetect.py:367-368)
+            errors.add("Duplicate id", path)
+        out[read.read_id] = read
+    return out

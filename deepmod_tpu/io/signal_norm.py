@@ -1,0 +1,87 @@
+"""Raw-signal normalization and per-event statistics, vectorized.
+
+The reference normalizes per read with median shift / MAD scale computed
+over the event-spanned signal range, then winsorizes at read_med +- 5*MAD
+and rounds to 3 decimals ("normalize as nanoraw did", myDetect.py:266-282).
+It then loops event-by-event recomputing mean/std over each event's raw
+slice (myDetect.py:332-343). Both are pure-Python hot loops there; here
+they are single-pass vectorized numpy (cumulative-sum mean/variance), the
+kind of host-side work that must not starve the TPU infeed.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+class SignalRangeError(ValueError):
+    """Event slice fell outside the raw signal (reference 'Less event')."""
+
+
+def normalize_signal(
+    raw_signals: np.ndarray, span_start: int, span_end: int
+) -> np.ndarray:
+    """Median/MAD normalize + 5xMAD winsorize + round to 3 decimals.
+
+    ``span_start/span_end`` delimit the event-covered slice
+    (m_event start[0] .. start[-1]+length[-1], myDetect.py:271-274); the
+    whole array is transformed but statistics come from the span only.
+    """
+    raw = np.asarray(raw_signals, np.float64)
+    span = raw[span_start:span_end]
+    mshift = np.median(span)
+    mscale = np.median(np.abs(span - mshift))
+    raw = (raw - mshift) / mscale
+    span = raw[span_start:span_end]
+    read_med = np.median(span)
+    read_mad = np.median(np.abs(span - read_med))
+    lower = read_med - read_mad * 5
+    upper = read_med + read_mad * 5
+    return np.round(np.clip(raw, lower, upper), 3)
+
+
+def event_mean_std(
+    m_event: np.ndarray, raw_signals: np.ndarray
+) -> Tuple[np.ndarray, int]:
+    """Fill per-event mean/stdv from normalized raw slices, vectorized.
+
+    Replicates myDetect.py:332-343 (round to 3 decimals) including its
+    out-of-range handling: if an event's slice is empty, the event table
+    is truncated there when the offending index is > 500, else the read
+    is rejected (reference marks 'Less event'). Returns (m_event, n_valid).
+    """
+    starts = m_event["start"].astype(np.int64)
+    lengths = m_event["length"].astype(np.int64)
+    ends = starts + lengths
+    n_sig = len(raw_signals)
+
+    # effective slice bounds after python-slice clamping
+    eff_start = np.minimum(starts, n_sig)
+    eff_end = np.minimum(ends, n_sig)
+    counts = np.maximum(eff_end - eff_start, 0)
+    bad = np.flatnonzero(counts == 0)
+    n_valid = len(m_event)
+    if len(bad) > 0:
+        first_bad = int(bad[0])
+        if first_bad > 500:
+            n_valid = first_bad - 1  # truncate like myDetect.py:337-339
+        else:
+            raise SignalRangeError("Less event")
+
+    csum = np.concatenate([[0.0], np.cumsum(raw_signals, dtype=np.float64)])
+    csum2 = np.concatenate(
+        [[0.0], np.cumsum(np.square(raw_signals, dtype=np.float64))]
+    )
+    s = eff_start[:n_valid]
+    e = eff_end[:n_valid]
+    n = np.maximum(counts[:n_valid], 1)
+    mean = (csum[e] - csum[s]) / n
+    var = (csum2[e] - csum2[s]) / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+
+    m_event = m_event[:n_valid].copy()
+    m_event["mean"] = np.round(mean, 3)
+    m_event["stdv"] = np.round(std, 3)
+    return m_event, n_valid

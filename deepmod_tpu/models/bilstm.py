@@ -1,0 +1,228 @@
+"""Bidirectional stacked-LSTM modification classifier, TPU-native.
+
+Re-implements the semantics of the reference TF1 graph
+(bin/DeepMod_scripts/myMultiBiRNN.py:21-91) as pure JAX:
+
+- 3 stacked LSTM layers per direction, hidden size 100, with the exact
+  cell math of TF1 ``BasicLSTMCell(num_hidden, forget_bias=1.0)``:
+  gates = [x; h] @ W + b split in (i, j, f, o) order,
+  c' = c * sigmoid(f + forget_bias) + sigmoid(i) * tanh(j),
+  h' = tanh(c') * sigmoid(o).
+- bidirectional outputs concatenated [fw; bw] per timestep
+  (``static_bidirectional_rnn``, myMultiBiRNN.py:47);
+- logits read from the CENTER timestep only: ``outputs[T // 2]`` projected
+  by a (2H, 2) dense layer (myMultiBiRNN.py:55), or a sigmoid-activated
+  dense layer when ``output_layer == 'sigmoid'`` (myMultiBiRNN.py:52-53);
+- optional class-weighted loss that multiplies the logits by (0.1, 0.9)
+  before the softmax cross-entropy (myMultiBiRNN.py:13,64-65).
+
+TPU-first design notes (NOT a translation of the TF graph):
+
+- The input projection of every (layer, direction) is hoisted out of the
+  recurrence into one large (B*T, F) @ (F, 4H) matmul that XLA tiles onto
+  the MXU; the ``lax.scan`` body only performs the (B, H) @ (H, 4H)
+  hidden-state matmul plus fused elementwise gate math.
+- The whole classifier is jit-compatible with static window shapes; batch
+  padding/masking happens in the caller (deepmod_tpu.engine).
+- An optional Pallas fused-recurrence kernel (deepmod_tpu.ops.lstm_pallas)
+  keeps h/c in VMEM across all timesteps; ``use_pallas=True`` switches the
+  per-layer recurrence to it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BiLSTMConfig:
+    """Hyperparameters (defaults match bin/DeepMod.py:336-338,305-319)."""
+
+    num_input: int = 7          # --fnum
+    num_hidden: int = 100       # --hidden
+    timesteps: int = 21         # --windowsize
+    num_layers: int = 3         # myMultiBiRNN.py:23
+    num_classes: int = 2        # myMultiBiRNN.py:21
+    forget_bias: float = 1.0    # myMultiBiRNN.py:39-40
+    output_layer: str = ""      # "" (linear) or "sigmoid" (myMultiBiRNN.py:50-53)
+
+    @property
+    def center(self) -> int:
+        return self.timesteps // 2
+
+
+Params = Dict[str, Any]
+
+
+def _truncated_normal(key, shape, stddev=1.0, dtype=jnp.float32):
+    """TF ``truncated_normal`` initializer: resample beyond 2 sigma."""
+    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def init_bilstm_params(key: jax.Array, config: BiLSTMConfig) -> Params:
+    """Initialize parameters with TF1-equivalent initializers.
+
+    LSTM kernels use glorot-uniform (TF1 default for BasicLSTMCell), biases
+    zeros; the output projection uses truncated normal for both the weight
+    and the bias, matching ``tf.truncated_normal`` at myMultiBiRNN.py:31-32.
+    """
+    h = config.num_hidden
+    keys = jax.random.split(key, 2 * config.num_layers + 2)
+    params: Params = {"fw": [], "bw": []}
+    ki = 0
+    for direction in ("fw", "bw"):
+        for layer in range(config.num_layers):
+            in_dim = config.num_input if layer == 0 else h
+            fan_in, fan_out = in_dim + h, 4 * h
+            limit = np.sqrt(6.0 / (fan_in + fan_out))
+            kernel = jax.random.uniform(
+                keys[ki], (in_dim + h, 4 * h), jnp.float32, -limit, limit
+            )
+            ki += 1
+            params[direction].append(
+                {"kernel": kernel, "bias": jnp.zeros((4 * h,), jnp.float32)}
+            )
+    params["out_w"] = _truncated_normal(keys[ki], (2 * h, config.num_classes))
+    params["out_b"] = _truncated_normal(keys[ki + 1], (config.num_classes,))
+    return params
+
+
+def _lstm_layer(
+    kernel: jax.Array,
+    bias: jax.Array,
+    x_seq: jax.Array,
+    forget_bias: float,
+    reverse: bool,
+) -> jax.Array:
+    """Run one LSTM layer over a (B, T, F) sequence; returns (B, T, H).
+
+    The input projection runs as a single large matmul before the scan so
+    the MXU sees one (B*T, F) @ (F, 4H) contraction; the scan body only
+    computes h @ Wh (an (B, H) @ (H, 4H) MXU matmul) plus the fused VPU
+    gate math.
+    """
+    in_dim = x_seq.shape[-1]
+    h_dim = kernel.shape[1] // 4
+    w_x = kernel[:in_dim]
+    w_h = kernel[in_dim:]
+
+    # (B, T, 4H) input pre-activations, computed once.
+    x_proj = jnp.einsum(
+        "btf,fg->btg", x_seq, w_x, preferred_element_type=jnp.float32
+    ) + bias
+
+    def step(carry, xp_t):
+        c, h = carry
+        gates = xp_t + jnp.dot(h, w_h, preferred_element_type=jnp.float32)
+        i, j, f, o = jnp.split(gates, 4, axis=-1)  # TF BasicLSTMCell order
+        new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+        return (new_c, new_h), new_h
+
+    batch = x_seq.shape[0]
+    init = (
+        jnp.zeros((batch, h_dim), x_proj.dtype),
+        jnp.zeros((batch, h_dim), x_proj.dtype),
+    )
+    # scan over time (axis 1) -> outputs stacked on axis 0, then move back.
+    _, h_seq = jax.lax.scan(
+        step, init, jnp.moveaxis(x_proj, 1, 0), reverse=reverse
+    )
+    # With reverse=True lax.scan processes t=T-1..0 but stores each output
+    # at its own index, which is exactly the "reverse, run, un-reverse"
+    # composition of static_bidirectional_rnn (myMultiBiRNN.py:47).
+    return jnp.moveaxis(h_seq, 0, 1)
+
+
+def _stack_direction(
+    layers: List[Dict[str, jax.Array]],
+    x_seq: jax.Array,
+    forget_bias: float,
+    reverse: bool,
+    use_pallas: bool = False,
+) -> jax.Array:
+    out = x_seq
+    for layer_params in layers:
+        if use_pallas:
+            from deepmod_tpu.ops.lstm_pallas import lstm_layer_pallas
+
+            out = lstm_layer_pallas(
+                layer_params["kernel"], layer_params["bias"], out,
+                forget_bias=forget_bias, reverse=reverse,
+            )
+        else:
+            out = _lstm_layer(
+                layer_params["kernel"], layer_params["bias"], out,
+                forget_bias, reverse,
+            )
+    return out
+
+
+def bilstm_center_features(
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+) -> jax.Array:
+    """(B, T, F) windows -> (B, 2H) center-timestep [fw; bw] features."""
+    fw_seq = _stack_direction(params["fw"], x, config.forget_bias, False, use_pallas)
+    bw_seq = _stack_direction(params["bw"], x, config.forget_bias, True, use_pallas)
+    center = config.center
+    return jnp.concatenate([fw_seq[:, center], bw_seq[:, center]], axis=-1)
+
+
+def bilstm_logits(
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+) -> jax.Array:
+    """(B, T, F) -> (B, 2) logits, replicating myMultiBiRNN.py:50-55."""
+    feats = bilstm_center_features(params, x, config, use_pallas)
+    out = jnp.dot(feats, params["out_w"], preferred_element_type=jnp.float32)
+    out = out + params["out_b"]
+    if config.output_layer == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    return out
+
+
+def bilstm_probs(
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+) -> jax.Array:
+    return jax.nn.softmax(bilstm_logits(params, x, config, use_pallas), axis=-1)
+
+
+def bilstm_predict(
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+) -> jax.Array:
+    """argmax class per window (mfpred, myMultiBiRNN.py:59-61)."""
+    return jnp.argmax(bilstm_logits(params, x, config, use_pallas), axis=-1)
+
+
+# Class weights for unbalanced training (myMultiBiRNN.py:13).
+CLASS_WEIGHTS = (0.1, 0.9)
+
+
+def bilstm_loss(
+    params: Params,
+    x: jax.Array,
+    y: jax.Array,
+    config: BiLSTMConfig,
+    unbalanced: bool = False,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Mean softmax cross-entropy.
+
+    With ``unbalanced`` the LOGITS are scaled by the class weights before
+    the softmax — an unusual formulation, but it is exactly what the
+    reference does (myMultiBiRNN.py:64-65) and must be preserved for
+    training parity.
+    """
+    logits = bilstm_logits(params, x, config, use_pallas)
+    if unbalanced:
+        logits = logits * jnp.asarray(CLASS_WEIGHTS, logits.dtype)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(y.astype(log_probs.dtype) * log_probs, axis=-1))
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
