@@ -70,18 +70,32 @@ def event_mean_std(
         else:
             raise SignalRangeError("Less event")
 
-    csum = np.concatenate([[0.0], np.cumsum(raw_signals, dtype=np.float64)])
-    csum2 = np.concatenate(
-        [[0.0], np.cumsum(np.square(raw_signals, dtype=np.float64))]
-    )
+    # normalized signals are exact multiples of 0.001 (normalize_signal
+    # rounds to 3 decimals), so integer cumsums make segment moments exact
+    # and the half-even rounding deterministic — no float-summation-order
+    # dust at .0005 ties (the reference's np.mean per segment is at the
+    # mercy of pairwise-summation order there).
+    sig_i = np.round(np.asarray(raw_signals, np.float64) * 1000.0).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(sig_i)])
+    csum2 = np.concatenate([[0], np.cumsum(sig_i * sig_i)])
     s = eff_start[:n_valid]
     e = eff_end[:n_valid]
     n = np.maximum(counts[:n_valid], 1)
-    mean = (csum[e] - csum[s]) / n
-    var = (csum2[e] - csum2[s]) / n - mean * mean
-    std = np.sqrt(np.maximum(var, 0.0))
+    seg_sum = csum[e] - csum[s]      # units of 1e-3
+    seg_sum2 = csum2[e] - csum2[s]   # units of 1e-6
+
+    # mean rounded to 3 decimals == round-half-even of seg_sum / n
+    q, r = np.divmod(seg_sum, n)
+    twice = 2 * r
+    round_up = (twice > n) | ((twice == n) & (q % 2 != 0))
+    mean_milli = q + round_up
+    mean = mean_milli.astype(np.float64) / 1000.0
+
+    exact_mean = seg_sum.astype(np.float64) / n
+    var = seg_sum2.astype(np.float64) / n - exact_mean * exact_mean  # 1e-6 units
+    std = np.sqrt(np.maximum(var, 0.0)) / 1000.0
 
     m_event = m_event[:n_valid].copy()
-    m_event["mean"] = np.round(mean, 3)
+    m_event["mean"] = mean
     m_event["stdv"] = np.round(std, 3)
     return m_event, n_valid

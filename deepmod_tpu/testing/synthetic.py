@@ -1,0 +1,213 @@
+"""Synthetic nanopore dataset generation for tests and verification.
+
+The reference ships no test fixtures at all (SURVEY.md section 4); this
+module builds everything its pipeline consumes from scratch:
+
+- a random reference genome (FASTA);
+- simulated reads: subsequences with substitutions/indels, optional
+  reverse-complement, and a per-base signal model (k-mer dependent level +
+  gaussian noise, 4-12 samples per base, occasional stay events);
+- Albacore-v2-style fast5 files (channel attrs, Fastq, Raw/Signal, Events
+  with move column) laid out exactly where the reader expects them
+  (myCom.py:51-56 path fragments);
+- optional "modification" effect: bases matching a motif get a shifted
+  signal level, giving supervised structure a model can actually learn —
+  used by the training e2e test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from deepmod_tpu.utils.common import reverse_complement
+
+BASES = np.array(list("ACGT"))
+
+
+@dataclasses.dataclass
+class SynthConfig:
+    genome_sizes: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {"chrS": 50000}
+    )
+    num_reads: int = 20
+    read_length: Tuple[int, int] = (1500, 3000)
+    sub_rate: float = 0.01
+    ins_rate: float = 0.005
+    del_rate: float = 0.005
+    samples_per_base: Tuple[int, int] = (4, 12)
+    stay_rate: float = 0.05
+    sampling_rate: float = 4000.0
+    # motif modification effect (None disables)
+    mod_motif: Optional[str] = None     # e.g. "CG"
+    mod_offset: int = 0
+    mod_level_shift: float = 0.0        # added to signal level at mod bases
+    seed: int = 0
+
+
+def make_genome(rng: np.random.RandomState, sizes: Dict[str, int]) -> Dict[str, str]:
+    return {name: "".join(rng.choice(BASES, n)) for name, n in sizes.items()}
+
+
+def simulate_read(
+    rng: np.random.RandomState,
+    genome: Dict[str, str],
+    config: SynthConfig,
+) -> Tuple[str, str, int, str, str]:
+    """Returns (chrom, strand, start, ref_segment, read_seq)."""
+    chrom = list(genome)[rng.randint(len(genome))]
+    ref = genome[chrom]
+    length = rng.randint(*config.read_length)
+    start = rng.randint(0, max(1, len(ref) - length))
+    segment = ref[start : start + length]
+    strand = "+" if rng.rand() < 0.5 else "-"
+    template = segment if strand == "+" else reverse_complement(segment)
+    out: List[str] = []
+    for ch in template:
+        r = rng.rand()
+        if r < config.del_rate:
+            continue
+        if r < config.del_rate + config.ins_rate:
+            out.append(ch)
+            out.append(str(rng.choice(BASES)))
+            continue
+        if r < config.del_rate + config.ins_rate + config.sub_rate:
+            out.append(str(rng.choice([b for b in "ACGT" if b != ch])))
+        else:
+            out.append(ch)
+    return chrom, strand, start, segment, "".join(out)
+
+
+def _kmer_level(kmer: str) -> float:
+    """Deterministic per-kmer signal level in roughly [-2, 2]."""
+    h = 2166136261
+    for ch in kmer:
+        h = ((h ^ ord(ch)) * 16777619) & 0xFFFFFFFF
+    return ((h % 4001) / 1000.0) - 2.0
+
+
+def _mod_positions(seq: str, motif: str, offset: int) -> np.ndarray:
+    """Read positions whose base is the modified base of a motif hit."""
+    hits = []
+    start = seq.find(motif)
+    while start != -1:
+        hits.append(start + offset)
+        start = seq.find(motif, start + 1)
+    return np.asarray(hits, np.int64)
+
+
+def synth_signal(
+    rng: np.random.RandomState, seq: str, config: SynthConfig
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str], np.ndarray]:
+    """Per-base signal; returns (signal, starts, lengths, kmers, move)."""
+    padded = "NN" + seq + "NN"
+    n = len(seq)
+    mod_mask = np.zeros(n, bool)
+    if config.mod_motif and config.mod_level_shift:
+        pos = _mod_positions(seq, config.mod_motif, config.mod_offset)
+        mod_mask[pos] = True
+
+    lengths = rng.randint(
+        config.samples_per_base[0], config.samples_per_base[1] + 1, n
+    )
+    kmers = [padded[i : i + 5] for i in range(n)]
+    levels = np.array([_kmer_level(k) for k in kmers])
+    levels = levels + np.where(mod_mask, config.mod_level_shift, 0.0)
+    # raw DAC-like values around 500 with per-base level steps
+    signal_chunks = [
+        rng.normal(500 + 40 * levels[i], 6.0, lengths[i]) for i in range(n)
+    ]
+    lead = rng.normal(480, 10.0, 10)  # un-evented lead-in samples
+    signal = np.concatenate([lead] + signal_chunks)
+    starts = 10 + np.concatenate([[0], np.cumsum(lengths[:-1])])
+    move = np.ones(n, np.int64)
+    return signal.astype(np.float32), starts.astype(np.int64), lengths, kmers, move
+
+
+def write_read_fast5(
+    path: str,
+    read_id: str,
+    seq: str,
+    rng: np.random.RandomState,
+    config: SynthConfig,
+) -> None:
+    """Write one Albacore-v2-style single-read fast5."""
+    import h5py
+
+    signal, starts, lengths, kmers, move = synth_signal(rng, seq, config)
+    n = len(seq)
+
+    # insert stay events: duplicate random rows with move=0 by splitting
+    # their samples (keeps starts/lengths consistent)
+    events = []
+    for i in range(n):
+        if lengths[i] >= 8 and rng.rand() < config.stay_rate:
+            half = int(lengths[i] // 2)
+            events.append((0.0, 0.0, starts[i], half, kmers[i], 1 if i > 0 else 1))
+            events.append((0.0, 0.0, starts[i] + half, lengths[i] - half, kmers[i], 0))
+        else:
+            events.append((0.0, 0.0, starts[i], lengths[i], kmers[i], 1))
+    ev = np.array(
+        events,
+        dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
+               ("length", "<u8"), ("model_state", "S5"), ("move", "<i8")],
+    )
+    # fill event means from the signal (basecaller-ish)
+    for row in ev:
+        seg = signal[row["start"] : row["start"] + row["length"]]
+        row["mean"] = seg.mean() if len(seg) else 0.0
+        row["stdv"] = seg.std() if len(seg) else 0.0
+
+    with h5py.File(path, "w") as fh:
+        ch = fh.create_group("UniqueGlobalKey/channel_id")
+        ch.attrs["digitisation"] = 8192.0
+        ch.attrs["offset"] = 0.0
+        ch.attrs["range"] = 1400.0
+        ch.attrs["sampling_rate"] = config.sampling_rate
+        ch.attrs["channel_number"] = b"101"
+        base = fh.create_group("Analyses/Basecall_1D_000")
+        base.attrs["version"] = b"2.3.4"
+        tmpl = base.create_group("BaseCalled_template")
+        fastq = f"@{read_id}\n{seq}\n+\n{'#' * len(seq)}\n"
+        tmpl.create_dataset("Fastq", data=np.bytes_(fastq))
+        tmpl.create_dataset("Events", data=ev)
+        raw = fh.create_group("Raw/Reads/Read_77")
+        raw.attrs["start_time"] = 0
+        raw.attrs["read_id"] = read_id.encode()
+        raw.create_dataset("Signal", data=signal)
+
+
+@dataclasses.dataclass
+class SimulatedRead:
+    read_id: str
+    chrom: str
+    strand: str
+    start: int
+    ref_segment: str
+    seq: str
+    path: str
+
+
+def generate_dataset(
+    out_dir: str, config: SynthConfig
+) -> Tuple[Dict[str, str], List[SimulatedRead]]:
+    """Genome FASTA + fast5 directory; returns (genome, reads)."""
+    from deepmod_tpu.io.fasta import write_fasta
+
+    rng = np.random.RandomState(config.seed)
+    genome = make_genome(rng, config.genome_sizes)
+    os.makedirs(os.path.join(out_dir, "fast5"), exist_ok=True)
+    write_fasta(os.path.join(out_dir, "ref.fa"), genome)
+    reads: List[SimulatedRead] = []
+    for i in range(config.num_reads):
+        chrom, strand, start, segment, seq = simulate_read(rng, genome, config)
+        read_id = f"synthread_{i:04d}"
+        path = os.path.join(out_dir, "fast5", f"{read_id}.fast5")
+        write_read_fast5(path, read_id, seq, rng, config)
+        reads.append(
+            SimulatedRead(read_id, chrom, strand, start, segment, seq, path)
+        )
+    return genome, reads

@@ -1,0 +1,133 @@
+"""End-to-end detect pipeline test on synthetic fast5 data.
+
+fast5 -> ingestion -> built-in alignment -> features -> jitted BiLSTM ->
+predetail HDF5 + index files + mod_pos BED, verified against the
+simulation's ground truth coverage.
+"""
+
+import glob
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+
+from deepmod_tpu.engine.detect import DetectConfig, detect_run
+from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+from deepmod_tpu.models.tf_import import save_bilstm_npz
+from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+from deepmod_tpu.aggregate.summarize import read_bed
+
+
+@pytest.fixture(scope="module")
+def e2e(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("e2e"))
+    config = SynthConfig(
+        genome_sizes={"chrS": 30000},
+        num_reads=8,
+        read_length=(1000, 2000),
+        seed=9,
+    )
+    genome, reads = generate_dataset(out, config)
+    model_config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
+    model_path = os.path.join(out, "model.npz")
+    save_bilstm_npz(model_path, params, model_config)
+    det = DetectConfig(
+        wrk_base=os.path.join(out, "fast5"),
+        ref=os.path.join(out, "ref.fa"),
+        model_path=model_path,
+        out_folder=os.path.join(out, "out"),
+        file_id="mod",
+        base="C",
+        align_str="builtin",
+    )
+    result = detect_run(det)
+    return out, genome, reads, det, result
+
+
+def test_all_reads_processed(e2e):
+    _, _, reads, _, result = e2e
+    assert result.num_reads == len(reads)
+    assert result.num_windows > 0
+    assert result.errors == {}
+
+
+def test_bed_outputs(e2e):
+    out, genome, reads, det, result = e2e
+    assert result.bed_files
+    total_cov = 0
+    for bed in result.bed_files:
+        name = os.path.basename(bed)
+        assert name.startswith("mod_pos.chrS") and name.endswith(".C.bed")
+        with open(bed) as fh:
+            for line in fh:
+                assert line.endswith(" \n")  # reference's trailing-space format
+                parts = line.split()
+                assert len(parts) == 12
+                chrom, p1, p2, base = parts[0], int(parts[1]), int(parts[2]), parts[3]
+                assert chrom == "chrS" and p2 == p1 + 1 and base == "C"
+                cov, pct, mod = int(parts[9]), int(parts[10]), int(parts[11])
+                assert 0 <= mod <= cov
+                assert pct == int(100 * mod / (cov if cov else 1))
+                total_cov += cov
+    assert total_cov > 0
+
+
+def test_coverage_matches_simulation(e2e):
+    out, genome, reads, det, result = e2e
+    # expected per-position C coverage on + strand from simulated intervals
+    ref = genome["chrS"]
+    expected = np.zeros(len(ref), np.int64)
+    for read in reads:
+        if read.strand == "+":
+            expected[read.start + 50 : read.start + len(read.ref_segment) - 50] += 1
+    plus_bed = [b for b in result.bed_files if "chrS+" in b]
+    assert plus_bed
+    got = read_bed(plus_bed[0])
+    is_c = np.frombuffer(ref.encode(), np.uint8) == ord("C")
+    # interior positions covered by exactly one read must appear with cov>=1
+    check = np.flatnonzero(is_c & (expected >= 1))
+    covered = sum((("chrS", "+", int(p)) in got) for p in check)
+    assert covered / len(check) > 0.98
+
+
+def test_per_read_outputs(e2e):
+    out, _, reads, det, result = e2e
+    pred_files = glob.glob(
+        os.path.join(det.out_folder, det.file_id, "*", "rnn.pred.detail.fast5.*")
+    )
+    assert pred_files
+    with h5py.File(pred_files[0], "r") as fh:
+        keys = list(fh["pred"].keys())
+        assert keys
+        g = fh["pred"][keys[0]]
+        assert g.attrs["mapped_chr"] == "chrS"
+        detail = g["predetail"][()]
+        assert set(detail.dtype.names) == {
+            "refbase", "readbase", "refbasei", "readbasei", "mod_pred",
+        }
+        assert g.attrs["pred_mod_num"] == int((detail["mod_pred"] == 1).sum())
+    # index files with reference headers
+    idx = glob.glob(os.path.join(det.out_folder, det.file_id, "rnn.pred.ind.*"))
+    assert idx
+    with open(idx[0]) as fh:
+        lines = fh.readlines()
+    assert lines[0].startswith("#base_folder_fast5 ")
+    assert lines[1].startswith("#base_folder_output ")
+    assert len(lines) - 2 == result.num_reads
+    # completion sentinel (myDetect.py:1263)
+    assert os.path.exists(det.out_folder.rstrip("/") + ".done")
+
+
+def test_deterministic_rerun(e2e, tmp_path):
+    out, genome, reads, det, result = e2e
+    import dataclasses
+
+    det2 = dataclasses.replace(det, out_folder=str(tmp_path / "out2"))
+    result2 = detect_run(det2)
+    assert result2.num_windows == result.num_windows
+    for b1, b2 in zip(sorted(result.bed_files), sorted(result2.bed_files)):
+        assert open(b1).read() == open(b2).read()
