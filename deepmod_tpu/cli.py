@@ -1,0 +1,340 @@
+"""Command-line interface.
+
+Mirrors the reference's CLI surface (bin/DeepMod.py:304-383): subcommands
+``detect``, ``train``, ``getfeatures`` with the same flag names and
+defaults, plus framework-native extras: ``synth`` (fixture generation),
+``merge`` (sum_chr_mod), ``motif`` (generate_motif_pos), ``clusterpred``
+(hm_cluster_predict second stage), ``evaluate`` (cal_EcoliDetPerf) and
+``bench``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _common_flags(parser: argparse.ArgumentParser) -> None:
+    # names/defaults from DeepMod.py:305-319
+    parser.add_argument("--outLevel", type=int, default=2, choices=[0, 1, 2, 3])
+    parser.add_argument("--wrkBase", help="The base folder for FAST5 files.")
+    parser.add_argument("--FileID", default="mod")
+    parser.add_argument("--outFolder", default="./mod_output")
+    parser.add_argument("--recursive", type=int, default=1, choices=[0, 1])
+    parser.add_argument("--threads", type=int, default=4)
+    parser.add_argument("--files_per_thread", type=int, default=1000)
+    parser.add_argument("--windowsize", type=int, default=21)
+    parser.add_argument(
+        "--alignStr", type=str, default="auto",
+        choices=["bwa", "minimap2", "builtin", "auto"],
+    )
+    parser.add_argument(
+        "--SignalGroup", type=str, default="simple", choices=["simple", "rundif"]
+    )
+    parser.add_argument("--move", default=False, action="store_true")
+    parser.add_argument("--basecall_1d", default="Basecall_1D_000")
+    parser.add_argument("--basecall_2strand", default="BaseCalled_template")
+
+
+def _parse_regions(spec):
+    """'chr:1:100000;chr2:10000' -> [(chr, 1, 100000), ...] (DeepMod.py:152-160)."""
+    if not spec:
+        return [(None, None, None)]
+    out = []
+    for part in spec.split(";"):
+        bits = part.split(":")
+        out.append(
+            (
+                bits[0] if bits[0] else None,
+                int(bits[1]) if len(bits) > 1 and bits[1] else None,
+                int(bits[2]) if len(bits) > 2 and bits[2] else None,
+            )
+        )
+    return out
+
+
+def cmd_detect(args) -> int:
+    from deepmod_tpu.engine.detect import DetectConfig, detect_run
+
+    config = DetectConfig(
+        wrk_base=args.wrkBase,
+        ref=args.Ref,
+        model_path=args.modfile,
+        out_folder=args.outFolder,
+        file_id=args.FileID,
+        base=args.Base,
+        fnum=args.fnum,
+        window_size=args.windowsize,
+        align_str=args.alignStr,
+        basecall_1d=args.basecall_1d,
+        basecall_2strand=args.basecall_2strand,
+        signal_group=args.SignalGroup,
+        move=args.move,
+        con_unk=args.ConUnk,
+        regions=_parse_regions(args.region),
+        recursive=bool(args.recursive),
+        files_per_batch=args.files_per_thread,
+        pred_det=bool(args.predDet),
+        pred_path=args.predpath,
+    )
+    result = detect_run(config)
+    print(
+        f"detect done: {result.num_reads} reads, {result.num_windows} windows, "
+        f"{len(result.bed_files)} BED files in {result.elapsed_s:.1f}s"
+    )
+    for kind, files in result.errors.items():
+        print(f"  {kind}: {len(files)}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from deepmod_tpu.train.loader import TestSplit, find_feature_files
+    from deepmod_tpu.train.trainer import TrainConfig, train_run
+    from deepmod_tpu.models.tf_import import load_model
+
+    # 'g1dir1,g1dir2;g2dir1' grouping (myMultiBiRNN.py:427-438)
+    groups = []
+    specs = args.wrkBase.split(";") if args.wrkBase else []
+    if args.wrkBase2:
+        specs.append(args.wrkBase2)
+    split = TestSplit.parse(args.test) if args.test else None
+    for spec in specs:
+        files = []
+        for folder in spec.split(","):
+            if folder:
+                files.extend(
+                    find_feature_files(folder, bool(args.recursive), split)
+                )
+        if files:
+            groups.append(files)
+    if not groups:
+        print("no feature files found", file=sys.stderr)
+        return 1
+    groups.sort(key=len, reverse=True)  # largest group drives (:457-458)
+    init_params = None
+    if args.modfile:
+        init_params, _ = load_model(args.modfile)
+    config = TrainConfig(
+        out_folder=args.outFolder,
+        file_id=args.FileID,
+        fnum=args.fnum,
+        hidden=args.hidden,
+        window_size=args.windowsize,
+        unbalanced=bool(args.unbalanced),
+        output_layer=args.outputlayer,
+        test=args.test,
+    )
+    train_run(groups, config, init_params=init_params)
+    print("Training Finished!")
+    return 0
+
+
+def cmd_getfeatures(args) -> int:
+    from deepmod_tpu.engine.getfeatures import GetFeaturesConfig, getfeatures_run
+
+    region = (None, None, None)
+    if args.region:
+        bits = [b.strip() for b in args.region.split(":")]
+        region = (
+            bits[0] if bits and bits[0] else None,
+            int(bits[1]) if len(bits) > 1 and bits[1] else None,
+            int(bits[2]) if len(bits) > 2 and bits[2] else None,
+        )
+    config = GetFeaturesConfig(
+        wrk_base=args.wrkBase,
+        ref=args.Ref,
+        out_folder=args.outFolder,
+        posneg=args.posneg,
+        fnum=args.fnum,
+        size_per_batch=args.size_per_batch,
+        motif_or_pos=args.motifORPos,
+        motif=args.motif,
+        mod_offset=args.ModinMotif,
+        fulmod_pattern=args.fulmod,
+        anymod_pattern=args.anymod,
+        nomod_pattern=args.nomod,
+        region=region,
+        basecall_1d=args.basecall_1d,
+        basecall_2strand=args.basecall_2strand,
+        signal_group=args.SignalGroup,
+        move=args.move,
+        align_str=args.alignStr,
+        recursive=bool(args.recursive),
+        files_per_batch=args.files_per_thread,
+        save_format=args.save_format,
+    )
+    result = getfeatures_run(config)
+    print(
+        f"getfeatures done: {result.num_reads} reads, {result.num_rows} rows, "
+        f"{len(result.feature_files)} files in {result.elapsed_s:.1f}s"
+    )
+    for kind, files in result.errors.items():
+        print(f"  {kind}: {len(files)}")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+
+    config = SynthConfig(
+        genome_sizes={args.chrom: args.genome_size},
+        num_reads=args.num_reads,
+        seed=args.seed,
+        mod_motif=args.motif if args.mod_shift else None,
+        mod_level_shift=args.mod_shift,
+    )
+    genome, reads = generate_dataset(args.out, config)
+    print(
+        f"synth dataset at {args.out}: {len(genome)} chromosome(s), "
+        f"{len(reads)} reads"
+    )
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from deepmod_tpu.tools.sum_chr_mod import merge_runs
+
+    n = merge_runs(args.pred_folder, args.base, args.file_id, args.chrs)
+    print(f"merged {n} BED files")
+    return 0
+
+
+def cmd_motif(args) -> int:
+    from deepmod_tpu.tools.motif_index import generate_motif_positions
+
+    n = generate_motif_positions(args.ref, args.out, args.motif, args.base)
+    print(f"wrote {n} index files")
+    return 0
+
+
+def cmd_clusterpred(args) -> int:
+    from deepmod_tpu.tools.cluster_predict import cluster_predict_run
+
+    n = cluster_predict_run(
+        args.pred_prefix, args.motif_folder, args.model, args.chrs
+    )
+    print(f"rewrote {n} sites")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from deepmod_tpu.tools.evaluate import ecoli_performance
+
+    metrics = ecoli_performance(
+        args.mod_bed, args.ctrl_bed, args.ref, args.motif, args.out_prefix
+    )
+    for k, v in metrics.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="deepmod_tpu",
+        description=(
+            "TPU-native detection of nucleotide modifications from nanopore "
+            "signal data."
+        ),
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("detect", help="Detect modifications at genomic scale")
+    _common_flags(p)
+    p.add_argument("--Ref")
+    p.add_argument("--predDet", type=int, default=1, choices=[0, 1])
+    p.add_argument("--predpath", default=None)
+    p.add_argument("--modfile", type=str, default=None)
+    p.add_argument("--fnum", type=int, default=7)
+    p.add_argument("--hidden", type=int, default=100)
+    p.add_argument("--region", default=None)
+    p.add_argument("--ConUnk", default=True, type=lambda s: s not in ("False", "0"))
+    p.add_argument("--outputlayer", default="", choices=["", "sigmoid"])
+    p.add_argument("--Base", type=str, default="C", choices=["A", "C", "G", "T"])
+    p.add_argument("--mod_cluster", default=0, type=int, choices=[0, 1])
+    p.set_defaults(func=cmd_detect)
+
+    p = sub.add_parser("train", help="Train a modification classifier")
+    _common_flags(p)
+    p.add_argument("--wrkBase2")
+    p.add_argument("--fnum", type=int, default=7)
+    p.add_argument("--hidden", type=int, default=100)
+    p.add_argument("--modfile", type=str, default=None)
+    p.add_argument("--test", default=None)
+    p.add_argument("--outputlayer", default="", choices=["", "sigmoid"])
+    p.add_argument("--unbalanced", type=int, default=0, choices=[0, 1])
+    p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("getfeatures", help="Extract training features")
+    _common_flags(p)
+    p.add_argument("--posneg", type=int, default=0, choices=[0, 1])
+    p.add_argument("--size_per_batch", type=float, default=1)
+    p.add_argument("--fnum", type=int, default=7)
+    p.add_argument("--region", type=str, default=None)
+    p.add_argument("--motifORPos", type=int, default=1)
+    p.add_argument("--motif", default="CG", type=str)
+    p.add_argument("--ModinMotif", default=0, type=int)
+    p.add_argument("--Ref")
+    p.add_argument("--fulmod", type=str)
+    p.add_argument("--anymod", type=str)
+    p.add_argument("--nomod", type=str)
+    p.add_argument(
+        "--save_format", default="xy.gz", choices=["xy.gz", "npz", "both"]
+    )
+    p.set_defaults(func=cmd_getfeatures)
+
+    p = sub.add_parser("synth", help="Generate a synthetic test dataset")
+    p.add_argument("--out", required=True)
+    p.add_argument("--chrom", default="chrS")
+    p.add_argument("--genome-size", type=int, default=50000)
+    p.add_argument("--num-reads", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--motif", default="CG")
+    p.add_argument("--mod-shift", type=float, default=0.0)
+    p.set_defaults(func=cmd_synth)
+
+    p = sub.add_parser("merge", help="Merge mod_pos BEDs across runs")
+    p.add_argument("pred_folder")
+    p.add_argument("base")
+    p.add_argument("file_id")
+    p.add_argument("chrs", nargs="?", default=None)
+    p.set_defaults(func=cmd_merge)
+
+    p = sub.add_parser("motif", help="Generate genome motif position index")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--motif", default="CG")
+    p.add_argument("--base", default="C")
+    p.set_defaults(func=cmd_motif)
+
+    p = sub.add_parser(
+        "clusterpred", help="Cluster-effect second-stage 5mC refinement"
+    )
+    p.add_argument("pred_prefix")
+    p.add_argument("motif_folder")
+    p.add_argument("--model", default=None)
+    p.add_argument("--chrs", nargs="*", default=None)
+    p.set_defaults(func=cmd_clusterpred)
+
+    p = sub.add_parser("evaluate", help="Motif-ground-truth AUC/AP evaluation")
+    p.add_argument("--mod-bed", required=True, nargs="+")
+    p.add_argument("--ctrl-bed", required=True, nargs="+")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--motif", default="CG")
+    p.add_argument("--out-prefix", default="perf")
+    p.set_defaults(func=cmd_evaluate)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "command", None):
+        parser.print_help()
+        return 0
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

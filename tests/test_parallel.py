@@ -1,0 +1,100 @@
+"""Mesh sharding tests on the 8-virtual-device CPU backend."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deepmod_tpu.models.bilstm import (
+    BiLSTMConfig,
+    bilstm_predict,
+    init_bilstm_params,
+)
+from deepmod_tpu.parallel.aggregation import sharded_position_counts
+from deepmod_tpu.parallel.mesh import make_2d_mesh, make_mesh
+from deepmod_tpu.parallel.shardings import (
+    make_sharded_predict,
+    make_sharded_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    config = BiLSTMConfig(num_input=7, num_hidden=100, timesteps=21)
+    params = init_bilstm_params(jax.random.PRNGKey(0), config)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 21, 7))
+    return config, params, x
+
+
+def test_mesh_sizes():
+    assert make_mesh().devices.size == 8
+    assert make_mesh(4).devices.size == 4
+    m = make_2d_mesh(4, 2)
+    assert m.axis_names == ("data", "model") and m.devices.shape == (4, 2)
+
+
+def test_sharded_predict_matches_single_device(model):
+    config, params, x = model
+    want = np.asarray(bilstm_predict(params, x, config))
+    mesh = make_mesh(8)
+    fn = make_sharded_predict(config, mesh)
+    got = np.asarray(fn(params, x))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_predict_tensor_parallel(model):
+    config, params, x = model
+    want = np.asarray(bilstm_predict(params, x, config))
+    mesh = make_2d_mesh(2, 4)
+    fn = make_sharded_predict(config, mesh, model_axis="model")
+    got = np.asarray(fn(params, x))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_train_step_dp_and_tp(model):
+    config, params, x = model
+    y = np.zeros((64, 2), np.float32)
+    y[::2, 0] = 1
+    y[1::2, 1] = 1
+    mask = np.ones(64, np.float32)
+    optimizer = optax.adam(1e-3)
+
+    losses = {}
+    for name, mesh, model_axis in (
+        ("dp", make_mesh(8), None),
+        ("dp_tp", make_2d_mesh(2, 4), "model"),
+    ):
+        step = make_sharded_train_step(
+            config, optimizer, mesh, model_axis=model_axis
+        )
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        opt_state = optimizer.init(p)
+        p2, opt_state, loss = step(
+            p, opt_state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
+        )
+        losses[name] = float(loss)
+        # params actually moved
+        assert not np.allclose(
+            np.asarray(p2["out_w"]), np.asarray(params["out_w"])
+        )
+    # same initial loss regardless of sharding layout
+    assert losses["dp"] == pytest.approx(losses["dp_tp"], rel=1e-5)
+
+
+def test_sharded_position_counts():
+    mesh = make_mesh(8)
+    length = 1000
+    rng = np.random.RandomState(0)
+    n = 8 * 50
+    pos = rng.randint(0, length, n)
+    cov = rng.randint(0, 2, n)
+    mod = cov & rng.randint(0, 2, n)
+    got_cov, got_mod = sharded_position_counts(
+        mesh, pos, cov, mod, length
+    )
+    want_cov = np.bincount(pos, cov, minlength=length).astype(np.int32)
+    want_mod = np.bincount(pos, mod, minlength=length).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(got_cov), want_cov)
+    np.testing.assert_array_equal(np.asarray(got_mod), want_mod)

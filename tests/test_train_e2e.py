@@ -1,0 +1,158 @@
+"""getfeatures + training end-to-end on synthetic modified/control data.
+
+The positive dataset carries a real signal-level shift at CG motif sites,
+so a model trained on the extracted features must separate the classes
+(held-out AUC well above chance) — validating labels, windows, loss, and
+the pjit data-parallel train step in one pass.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepmod_tpu.engine.getfeatures import GetFeaturesConfig, getfeatures_run
+from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+from deepmod_tpu.train.loader import (
+    TestSplit,
+    find_feature_files,
+    load_feature_file,
+    read_ind_sidecar,
+)
+from deepmod_tpu.train.trainer import (
+    TrainConfig,
+    batch_metrics,
+    predict_feature_files,
+    train_run,
+)
+
+
+@pytest.fixture(scope="module")
+def datasets(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("train_e2e"))
+    genome_sizes = {"chrS": 15000}
+    common = dict(
+        genome_sizes=genome_sizes, num_reads=6, read_length=(700, 1100),
+        sub_rate=0.002, ins_rate=0.001, del_rate=0.001,
+    )
+    mod_dir = os.path.join(base, "mod")
+    ctl_dir = os.path.join(base, "ctl")
+    # same genome (same seed ordering) but only 'mod' shifts CG signal
+    generate_dataset(
+        mod_dir,
+        SynthConfig(seed=100, mod_motif="CG", mod_offset=0,
+                    mod_level_shift=1.5, **common),
+    )
+    generate_dataset(ctl_dir, SynthConfig(seed=100, **common))
+    return base, mod_dir, ctl_dir
+
+
+@pytest.fixture(scope="module")
+def features(datasets):
+    base, mod_dir, ctl_dir = datasets
+    results = {}
+    for name, d, posneg in (("mod", mod_dir, 1), ("ctl", ctl_dir, 0)):
+        config = GetFeaturesConfig(
+            wrk_base=os.path.join(d, "fast5"),
+            ref=os.path.join(d, "ref.fa"),
+            out_folder=os.path.join(base, f"feat_{name}"),
+            posneg=posneg,
+            motif="CG",
+            align_str="builtin",
+            save_format="both",
+        )
+        results[name] = getfeatures_run(config)
+    return base, results
+
+
+def test_getfeatures_outputs(features):
+    base, results = features
+    for name in ("mod", "ctl"):
+        res = results[name]
+        assert res.num_reads > 0, res.errors
+        assert res.num_rows > 0
+        assert res.feature_files
+        # sidecar exists and starts at row 0
+        ind = read_ind_sidecar(res.feature_files[0])
+        assert ind and ind[0][0] == 0
+        # text format: %.3f columns, fnum+3 wide
+        mat = np.loadtxt(res.feature_files[0], ndmin=2)
+        assert mat.shape[1] == 10
+        # labels present: mod sample has positives, ctl has negatives only
+        if name == "mod":
+            assert (mat[:, 2] == 1).sum() > 0
+        else:
+            assert (mat[:, 1] == 1).sum() > 0
+            assert (mat[:, 2] == 1).sum() == 0
+
+
+def test_text_and_binary_formats_agree(features):
+    base, results = features
+    gz = results["mod"].feature_files[0]
+    npz = gz.replace(".xy.gz", ".xy.npz")
+    a = np.loadtxt(gz, ndmin=2)
+    b = np.load(npz)["xy"]
+    np.testing.assert_allclose(a, b, atol=5e-4)  # %.3f text rounding
+
+
+def test_load_feature_file_windows(features):
+    base, results = features
+    x, y = load_feature_file(results["mod"].feature_files[0], window_size=21)
+    assert x.shape[1:] == (21, 7)
+    assert len(x) == len(y)
+    assert set(np.unique(y)).issubset({0, 1})
+    # one-hot labels
+    assert (y.sum(axis=1) == 1).all()
+
+
+def test_region_split(features):
+    base, results = features
+    path = results["mod"].feature_files[0]
+    split = TestSplit.parse("E,0,1")  # exclude [0, 1Mb) -> everything
+    x_train, y_train = load_feature_file(path, 21, split)
+    x_test, y_test = load_feature_file(path, 21, split, for_test=True)
+    x_all, y_all = load_feature_file(path, 21)
+    assert len(y_train) == 0  # whole 15kb genome is inside the holdout
+    assert len(y_test) == len(y_all)
+
+
+def test_training_learns_signal(features, tmp_path):
+    base, results = features
+    mod_files = find_feature_files(results["mod"].out_folder)
+    ctl_files = find_feature_files(results["ctl"].out_folder)
+    assert mod_files and ctl_files
+    config = TrainConfig(
+        out_folder=str(tmp_path / "train_out"),
+        fnum=7,
+        hidden=32,
+        epochs=6,
+        batch_size=128,
+        learning_rate=3e-3,
+        log_every=10,
+        seed=1,
+    )
+    params, model_config, history = train_run([mod_files, ctl_files], config)
+    assert history, "no training steps ran"
+    # evaluate on a balanced held-out batch assembled from both classes
+    xs, ys = [], []
+    for f in mod_files + ctl_files:
+        x, y = load_feature_file(f, 21)
+        xs.append(x)
+        ys.append(y)
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    m = batch_metrics(params, model_config, x, y)
+    assert m["auc"] > 0.8, m
+    # checkpoints written per epoch
+    assert os.path.isfile(str(tmp_path / "train_out" / "6" / "mod.npz"))
+    # standalone prediction tool
+    out_txt = str(tmp_path / "pred.txt")
+    res = predict_feature_files(
+        params, model_config, mod_files, out_txt, batch_size=256
+    )
+    assert res and os.path.isfile(out_txt)
+    line = open(out_txt).readline()
+    assert line.startswith("tp=")
