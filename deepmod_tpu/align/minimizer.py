@@ -27,6 +27,11 @@ import numpy as np
 
 from deepmod_tpu.utils.common import reverse_complement
 from .dp import global_align_ops, merge_ops, ops_to_cigar
+
+try:
+    from deepmod_tpu.native.lib import minimizers_native as _native_minimizers
+except Exception:  # pragma: no cover
+    _native_minimizers = None
 from .sam import SamRecord
 
 _BASE_CODE = np.full(256, 255, np.uint8)
@@ -61,7 +66,15 @@ def _kmer_hashes(seq: str, k: int) -> np.ndarray:
 
 
 def _minimizers(seq: str, k: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(positions, hashes) of (k, w) minimizers."""
+    """(positions, hashes) of (k, w) minimizers.
+
+    Uses the C++ core when built (identical splitmix64 hashing and
+    leftmost-min window semantics; pinned equal by tests/test_native.py).
+    """
+    if _native_minimizers is not None:
+        result = _native_minimizers(seq, k, w)
+        if result is not None:
+            return result
     hashes = _kmer_hashes(seq, k)
     if len(hashes) == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64)

@@ -77,6 +77,8 @@ def cmd_detect(args) -> int:
         files_per_batch=args.files_per_thread,
         pred_det=bool(args.predDet),
         pred_path=args.predpath,
+        mod_cluster=bool(args.mod_cluster),
+        threads=args.threads,
     )
     result = detect_run(config)
     print(

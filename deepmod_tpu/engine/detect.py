@@ -87,6 +87,8 @@ class DetectConfig:
     pred_det: bool = True
     pred_path: Optional[str] = None   # for summarize-only mode
     write_per_read: bool = True       # predetail HDF5 + index files
+    mod_cluster: bool = False         # inline CpG-cluster rescue
+    threads: int = 1                  # host-side ingestion workers
 
 
 @dataclasses.dataclass
@@ -97,6 +99,7 @@ class DetectResult:
     num_windows: int
     errors: Dict[str, List[str]]
     elapsed_s: float
+    stage_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
 class WindowPredictor:
@@ -178,53 +181,42 @@ def _region_ok(rname: str, pos: int, n_events: int, config: DetectConfig) -> boo
     return False
 
 
-@dataclasses.dataclass
-class _ReadWork:
-    read: Fast5Read
-    bmr: BaseMapResult
-    pos0: int          # 0-based mapped position from SAM
-    n_aligned: int
-    window_offset: int
-
-
 def _save_predetail(
     h5_path: str,
     pred_key: str,
-    bmr: BaseMapResult,
-    read: Fast5Read,
+    item,  # HostReadResult
     pred_mod_num: int,
-    read_id: str,
 ) -> None:
     """Per-read prediction HDF5, format-identical to myDetect.py:716-760."""
     import h5py
 
-    bm = bmr.base_map
+    bm = item.base_map
     with h5py.File(h5_path, "a") as fh:
         base_group = fh["pred"] if "pred" in fh else fh.create_group("pred")
         if pred_key in base_group:
             del base_group[pred_key]
         group = base_group.create_group(pred_key)
-        group.attrs["mapped_chr"] = bmr.rname
-        group.attrs["mapped_strand"] = bmr.strand
+        group.attrs["mapped_chr"] = item.rname
+        group.attrs["mapped_strand"] = item.strand
         group.attrs["mapped_start"] = (
-            bm["refbasei"][0] if bmr.strand == "+" else bm["refbasei"][-1]
+            bm["refbasei"][0] if item.strand == "+" else bm["refbasei"][-1]
         )
         group.attrs["mapped_end"] = (
-            bm["refbasei"][-1] if bmr.strand == "+" else bm["refbasei"][0]
+            bm["refbasei"][-1] if item.strand == "+" else bm["refbasei"][0]
         )
         group.attrs["clipped_bases_start"] = (
-            bmr.left_clip if bmr.strand == "+" else bmr.right_clip
+            item.left_clip if item.strand == "+" else item.right_clip
         )
         group.attrs["clipped_bases_end"] = (
-            bmr.right_clip if bmr.strand == "+" else bmr.left_clip
+            item.right_clip if item.strand == "+" else item.left_clip
         )
-        group.attrs["num_insertions"] = bmr.num_insert
-        group.attrs["num_deletions"] = bmr.num_del
-        group.attrs["num_matches"] = bmr.num_match
-        group.attrs["num_mismatches"] = bmr.num_mismatch
+        group.attrs["num_insertions"] = item.num_insert
+        group.attrs["num_deletions"] = item.num_del
+        group.attrs["num_matches"] = item.num_match
+        group.attrs["num_mismatches"] = item.num_mismatch
         group.attrs["pred_mod_num"] = pred_mod_num
-        group.attrs["f5file"] = read.path
-        group.attrs["readk"] = read_id
+        group.attrs["f5file"] = item.path
+        group.attrs["readk"] = item.read_id
         as_s1 = np.empty(
             len(bm),
             dtype=[("refbase", "S1"), ("readbase", "S1"),
@@ -236,102 +228,96 @@ def _save_predetail(
         group.create_dataset("predetail", data=as_s1, compression="gzip")
 
 
-def process_batch(
-    f5files: Sequence[str],
-    config: DetectConfig,
-    predictor: WindowPredictor,
-    reference: FastaReference,
-    counts: CountsMap,
-    batch_id: int,
-    ct_folder: str,
-    errors: ErrorCensus,
-) -> Tuple[int, int, List[List[str]]]:
-    """One file batch: ingest -> align -> features -> predict -> outputs.
+def _host_options(config: DetectConfig):
+    from .host_worker import HostOptions
 
-    Returns (n_reads, n_windows, index_entries).
-    """
-    read_opts = Fast5ReadOptions(
+    return HostOptions(
+        ref=config.ref,
+        align_str=config.align_str,
+        fnum=config.fnum,
+        window_size=config.window_size,
+        base=config.base,
+        con_unk=config.con_unk,
+        regions=tuple(config.regions),
         basecall_1d=config.basecall_1d,
         basecall_2strand=config.basecall_2strand,
         signal_group=config.signal_group,
         move=config.move,
+        min_events=50,
+        cpg_canonicalize=True,
     )
-    f5data = read_fast5_batch(list(f5files), read_opts, errors)
-    if not f5data:
+
+
+def consume_host_results(
+    results,  # List[HostReadResult]
+    config: DetectConfig,
+    predictor: WindowPredictor,
+    counts: CountsMap,
+    batch_id: int,
+    ct_folder: str,
+    timer=None,
+) -> Tuple[int, int, List[List[str]]]:
+    """Device inference + per-read outputs + aggregation for one batch."""
+    import contextlib
+
+    from deepmod_tpu.aggregate.summarize import PositionCounts
+
+    stage = timer.stage if timer is not None else (
+        lambda name: contextlib.nullcontext()
+    )
+    if not results:
         return 0, 0, []
-
-    aligner = get_aligner(config.ref, config.align_str)
-    records = aligner.align({rid: r.basecall for rid, r in f5data.items()})
-    best = filter_best_alignments(records)
-    for rid, read in f5data.items():
-        if rid not in best:
-            errors.add("Not in alignment sam", read.path)
-
-    # host-side feature construction
-    work: List[_ReadWork] = []
-    window_blocks: List[np.ndarray] = []
-    total_windows = 0
-    for rid in sorted(best):
-        rec = best[rid]
-        read = f5data[rid]
-        if not _chrom_ok(rec.rname, config):
-            continue
-        pos0 = rec.pos - 1
-        if not _region_ok(rec.rname, pos0, len(read.m_event), config):
-            continue
-        if rec.rname not in reference:
-            errors.add("Not in alignment sam", read.path)
-            continue
-        refseq = reference.fetch(rec.rname)
-        try:
-            bmr = expand_alignment(
-                refseq, rec.seq, pos0, rec.cigar, rec.strand, rec.rname,
-                len(read.m_event), min_events=50,
-            )
-            mfeat, start_clip, end_clip = build_feature_matrix(
-                read.m_event, read.raw_signals, read.basecall, bmr,
-                fnum=config.fnum,
-            )
-        except (AlignmentRejected, FeatureBuildError) as exc:
-            errors.add(str(exc), read.path)
-            continue
-        n_aligned = len(read.m_event) - start_clip - end_clip
-        windows = extract_windows(
-            mfeat, n_aligned, window=config.window_size
-        )
-        work.append(_ReadWork(read, bmr, pos0, n_aligned, total_windows))
-        window_blocks.append(windows)
-        total_windows += n_aligned
-
-    if not work:
-        return 0, 0, []
-
-    all_windows = np.concatenate(window_blocks, axis=0)
-    preds = predictor.predict(all_windows)
+    with stage("device_inference"):
+        all_windows = np.concatenate([r.windows for r in results], axis=0)
+        preds = predictor.predict(all_windows)
 
     index_entries: List[List[str]] = []
     pred_file = os.path.join(ct_folder, f"rnn.pred.detail.fast5.{batch_id}")
-    for readk_ind, item in enumerate(work):
-        p = preds[item.window_offset : item.window_offset + item.n_aligned]
-        pred_mod_num = map_predictions_to_base_map(item.bmr, p)
-        accumulate_base_map(
-            counts, item.bmr, config.base, reference.length(item.bmr.rname)
-        )
+    offset = 0
+    outputs_ctx = stage("outputs_and_aggregation")
+    outputs_ctx.__enter__()
+    for readk_ind, item in enumerate(results):
+        n_aligned = len(item.windows)
+        p = preds[offset : offset + n_aligned]
+        offset += n_aligned
+        # scatter onto non-gap base-map rows (mPredict1, myDetect.py:823-833)
+        nongap = np.flatnonzero(item.base_map["readbase"] != "-")
+        if len(nongap) != n_aligned:
+            raise FeatureBuildError("Error Does not match")
+        hits = nongap[p == 1]
+        item.base_map["mod_pred"][hits] = 1
+        pred_mod_num = int(len(hits))
+        if config.mod_cluster:
+            from .summarize import apply_mod_cluster_rescue
+
+            apply_mod_cluster_rescue(item.base_map)
+        # accumulate counts (sum_handler rules)
+        key = (item.rname, item.strand)
+        if key not in counts:
+            counts[key] = PositionCounts.zeros(item.chrom_length)
+        pc = counts[key]
+        bm = item.base_map
+        is_target = bm["refbase"] == config.base
+        pc.seen[bm["refbasei"][is_target].astype(np.int64)] = True
+        sel = is_target & (bm["readbase"] != "-")
+        pos = bm["refbasei"][sel].astype(np.int64)
+        pc.coverage += np.bincount(pos, minlength=pc.length)
+        modded = pos[bm["mod_pred"][sel] == 1]
+        pc.mod_count += np.bincount(modded, minlength=pc.length)
+
         if config.write_per_read:
             pred_key = f"pred_{readk_ind}"
-            _save_predetail(
-                pred_file, pred_key, item.bmr, item.read, pred_mod_num,
-                item.read.read_id,
-            )
-            rel_f5 = os.path.relpath(item.read.path, config.wrk_base)
+            _save_predetail(pred_file, pred_key, item, pred_mod_num)
+            rel_f5 = os.path.relpath(item.path, config.wrk_base)
             rel_pred = os.path.relpath(
                 pred_file, os.path.join(config.out_folder, config.file_id)
             )
             index_entries.append(
-                [item.bmr.rname, item.bmr.strand, str(item.pos0), pred_key,
+                [item.rname, item.strand, str(item.pos0), pred_key,
                  rel_f5, rel_pred]
             )
-    return len(work), total_windows, index_entries
+    outputs_ctx.__exit__(None, None, None)
+    return len(results), int(offset), index_entries
 
 
 def _write_index_files(
@@ -357,8 +343,30 @@ def _write_index_files(
 
 
 def detect_run(config: DetectConfig) -> DetectResult:
-    """Full detect: per-read prediction + genomic summaries + BED."""
+    """Full detect: per-read prediction + genomic summaries + BED.
+
+    With ``pred_det=False``, skips prediction and rebuilds summaries from
+    an existing run's prediction files (the reference's --predDet 0 path,
+    myDetect.py:1230-1263)."""
     start_time = time.time()
+    if not config.pred_det:
+        from .summarize import summarize_run
+
+        pred_path = config.pred_path or os.path.join(
+            config.out_folder, config.file_id
+        )
+        bed_files = summarize_run(
+            pred_path, config.out_folder, config.base, config.mod_cluster
+        )
+        open(config.out_folder.rstrip("/") + ".done", "w").close()
+        return DetectResult(
+            out_folder=config.out_folder,
+            bed_files=bed_files,
+            num_reads=0,
+            num_windows=0,
+            errors={},
+            elapsed_s=time.time() - start_time,
+        )
     os.makedirs(os.path.join(config.out_folder, config.file_id), exist_ok=True)
 
     params, model_config = load_model(config.model_path)
@@ -370,8 +378,10 @@ def detect_run(config: DetectConfig) -> DetectResult:
             f"model expects fnum={model_config.num_input}, got {config.fnum}"
         )
     predictor = WindowPredictor(params, model_config, use_pallas=config.use_pallas)
-    reference = FastaReference(config.ref)
 
+    from deepmod_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     files = sorted(discover_fast5(config.wrk_base, config.recursive))
     errors = ErrorCensus()
     counts: CountsMap = {}
@@ -379,28 +389,85 @@ def detect_run(config: DetectConfig) -> DetectResult:
     n_reads = 0
     n_windows = 0
 
+    from .host_worker import host_process_files, init_worker
+
+    host_opts = _host_options(config)
     sub_folder_size = 100  # batches per subfolder (myDetect.py:1163)
-    for batch_id in range(0, max(1, (len(files) + config.files_per_batch - 1) // config.files_per_batch)):
-        batch = files[batch_id * config.files_per_batch : (batch_id + 1) * config.files_per_batch]
-        if not batch:
-            continue
-        ct_folder = os.path.join(
+    n_batches = max(1, (len(files) + config.files_per_batch - 1) // config.files_per_batch)
+    batches = [
+        files[i * config.files_per_batch : (i + 1) * config.files_per_batch]
+        for i in range(n_batches)
+    ]
+
+    def ct_folder_for(batch_id: int) -> str:
+        folder = os.path.join(
             config.out_folder, config.file_id, str(batch_id // sub_folder_size)
         )
-        os.makedirs(ct_folder, exist_ok=True)
-        r, w, idx = process_batch(
-            batch, config, predictor, reference, counts, batch_id, ct_folder,
-            errors,
-        )
-        n_reads += r
-        n_windows += w
-        all_index.extend(idx)
+        os.makedirs(folder, exist_ok=True)
+        return folder
+
+    if config.threads > 1 and len(batches) > 1:
+        # host stages in spawn-context workers (they never touch the TPU);
+        # the main process streams results through the device
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        # spawn children re-import from scratch: make sure they can find
+        # this package even when the parent extended sys.path manually
+        import deepmod_tpu as _pkg
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + existing if existing else "")
+            )
+        ctx = mp.get_context("spawn")
+        with cf.ProcessPoolExecutor(
+            max_workers=config.threads,
+            mp_context=ctx,
+            initializer=init_worker,
+            initargs=(host_opts,),
+        ) as pool:
+            futures = {
+                pool.submit(host_process_files, batch): batch_id
+                for batch_id, batch in enumerate(batches)
+                if batch
+            }
+            for fut in cf.as_completed(futures):
+                batch_id = futures[fut]
+                results, batch_errors = fut.result()
+                for kind, paths in batch_errors.items():
+                    errors.extend(kind, paths)
+                r, w, idx = consume_host_results(
+                    results, config, predictor, counts, batch_id,
+                    ct_folder_for(batch_id), timer,
+                )
+                n_reads += r
+                n_windows += w
+                all_index.extend(idx)
+    else:
+        init_worker(host_opts)
+        for batch_id, batch in enumerate(batches):
+            if not batch:
+                continue
+            with timer.stage("host_ingest_align_features"):
+                results, batch_errors = host_process_files(batch)
+            for kind, paths in batch_errors.items():
+                errors.extend(kind, paths)
+            r, w, idx = consume_host_results(
+                results, config, predictor, counts, batch_id,
+                ct_folder_for(batch_id), timer,
+            )
+            n_reads += r
+            n_windows += w
+            all_index.extend(idx)
 
     if config.write_per_read:
         _write_index_files(all_index, config)
 
     bed_files: List[str] = []
-    prefix = "mod_pos"
+    prefix = "cluster_mod_pos" if config.mod_cluster else "mod_pos"
     for (chrom, strand), pc in sorted(counts.items()):
         bed_path = os.path.join(
             config.out_folder, f"{prefix}.{chrom}{strand}.{config.base}.bed"
@@ -418,4 +485,5 @@ def detect_run(config: DetectConfig) -> DetectResult:
         num_windows=n_windows,
         errors=errors.errors,
         elapsed_s=time.time() - start_time,
+        stage_seconds=timer.as_dict(),
     )

@@ -1,0 +1,230 @@
+// deepmod_tpu native host-side kernels.
+//
+// The reference leans on external C binaries (minimap2/bwa, samtools) and
+// TF's C++ runtime for everything fast (SURVEY.md section 2b); this library
+// provides the framework's own native implementations of the host-side hot
+// loops that feed the TPU:
+//
+//   - per-event signal statistics (exact milli-unit integer arithmetic,
+//     matching deepmod_tpu.io.signal_norm.event_mean_std bit-for-bit);
+//   - median/MAD signal normalization with 5xMAD winsorize + round-3
+//     (myDetect.py:266-282 semantics);
+//   - banded edit-distance alignment with traceback (the built-in
+//     aligner's inter-anchor stitching, same cost model as
+//     deepmod_tpu.align.dp.global_align_ops);
+//   - (k, w) minimizer extraction with the same splitmix64 hashing as
+//     deepmod_tpu.align.minimizer.
+//
+// C ABI only; loaded via ctypes (deepmod_tpu.native.lib).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Event statistics: means/stds over [start, start+length) slices of the
+// (already normalized, round-3) signal. Signals are exact multiples of
+// 0.001, so integer cumulative sums give exact moments and deterministic
+// half-even rounding of the mean.
+// Returns number of valid events (may truncate like the python path), or
+// -1 when an empty slice occurs at index <= 500 ("Less event").
+int dmt_event_stats(const double* signal, int64_t n_signal,
+                    const uint64_t* starts, const uint64_t* lengths,
+                    int64_t n_events, float* means_out, float* stds_out) {
+  std::vector<int64_t> csum(n_signal + 1, 0);
+  std::vector<int64_t> csum2(n_signal + 1, 0);
+  for (int64_t i = 0; i < n_signal; ++i) {
+    const int64_t v = llround(signal[i] * 1000.0);
+    csum[i + 1] = csum[i] + v;
+    csum2[i + 1] = csum2[i] + v * v;
+  }
+  int64_t n_valid = n_events;
+  for (int64_t i = 0; i < n_events; ++i) {
+    int64_t s = std::min<int64_t>((int64_t)starts[i], n_signal);
+    int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n_signal);
+    if (e <= s) {
+      if (i > 500) {
+        n_valid = i - 1;  // truncate (myDetect.py:337-339)
+        break;
+      }
+      return -1;  // "Less event"
+    }
+  }
+  for (int64_t i = 0; i < n_valid; ++i) {
+    const int64_t s = std::min<int64_t>((int64_t)starts[i], n_signal);
+    const int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n_signal);
+    const int64_t cnt = e - s;
+    const int64_t seg_sum = csum[e] - csum[s];
+    const int64_t seg_sum2 = csum2[e] - csum2[s];
+    // round-half-even of seg_sum / cnt (milli units)
+    int64_t q = seg_sum / cnt;
+    int64_t r = seg_sum % cnt;
+    if (r < 0) { q -= 1; r += cnt; }  // floor division
+    const int64_t twice = 2 * r;
+    if (twice > cnt || (twice == cnt && (q % 2 != 0))) q += 1;
+    means_out[i] = (float)(q / 1000.0);
+    const double exact_mean = (double)seg_sum / (double)cnt;
+    double var = (double)seg_sum2 / (double)cnt - exact_mean * exact_mean;
+    if (var < 0) var = 0;
+    stds_out[i] = (float)(std::round(std::sqrt(var)) / 1000.0);
+  }
+  return (int)n_valid;
+}
+
+// ---------------------------------------------------------------------------
+// Median/MAD normalization (myDetect.py:266-282): statistics over
+// [span_start, span_end), transform whole array, winsorize at 5xMAD,
+// round to 3 decimals. In-place on `signal`.
+static double median_of(std::vector<double>& v) {
+  const size_t n = v.size();
+  if (n == 0) return 0.0;
+  const size_t mid = n / 2;
+  std::nth_element(v.begin(), v.begin() + mid, v.end());
+  double hi = v[mid];
+  if (n % 2 == 1) return hi;
+  std::nth_element(v.begin(), v.begin() + mid - 1, v.begin() + mid);
+  return 0.5 * (v[mid - 1] + hi);
+}
+
+void dmt_normalize_signal(double* signal, int64_t n, int64_t span_start,
+                          int64_t span_end) {
+  std::vector<double> span(signal + span_start, signal + span_end);
+  const double shift = median_of(span);
+  for (auto& v : span) v = std::fabs(v - shift);
+  const double scale = median_of(span);
+  for (int64_t i = 0; i < n; ++i) signal[i] = (signal[i] - shift) / scale;
+  span.assign(signal + span_start, signal + span_end);
+  const double med = median_of(span);
+  for (auto& v : span) v = std::fabs(v - med);
+  const double mad = median_of(span);
+  const double lo = med - mad * 5, hi = med + mad * 5;
+  for (int64_t i = 0; i < n; ++i) {
+    double v = signal[i];
+    if (v < lo) v = lo;
+    else if (v > hi) v = hi;
+    // numpy round-half-even at 3 decimals
+    const double scaled = v * 1000.0;
+    double r = std::nearbyint(scaled);  // assumes FE_TONEAREST (half-even)
+    signal[i] = r / 1000.0;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Global edit-distance alignment with traceback (cost model of
+// deepmod_tpu.align.dp: mismatch=1, gap=1; diagonal preferred).
+// ops_out receives a char per aligned column ('M','I','D'); returns the
+// number of ops, or -1 if ops_cap is too small.
+int dmt_global_align(const char* a, int na, const char* b, int nb,
+                     char* ops_out, int ops_cap) {
+  if (na == 0 && nb == 0) return 0;
+  if ((na + nb) > ops_cap) return -1;
+  if (na == 0) { memset(ops_out, 'D', nb); return nb; }
+  if (nb == 0) { memset(ops_out, 'I', na); return na; }
+  std::vector<int32_t> dp((size_t)(na + 1) * (nb + 1));
+  const int stride = nb + 1;
+  for (int j = 0; j <= nb; ++j) dp[j] = j;
+  for (int i = 1; i <= na; ++i) {
+    dp[(size_t)i * stride] = i;
+    const char ai = a[i - 1];
+    int32_t* cur = &dp[(size_t)i * stride];
+    const int32_t* prev = &dp[(size_t)(i - 1) * stride];
+    for (int j = 1; j <= nb; ++j) {
+      int32_t best = prev[j - 1] + (b[j - 1] != ai);
+      const int32_t up = prev[j] + 1;
+      if (up < best) best = up;
+      const int32_t left = cur[j - 1] + 1;
+      if (left < best) best = left;
+      cur[j] = best;
+    }
+  }
+  // traceback into the tail of ops_out, then shift to the front
+  int pos = ops_cap;
+  int i = na, j = nb;
+  while (i > 0 && j > 0) {
+    const int32_t sub = dp[(size_t)(i - 1) * stride + (j - 1)] + (a[i - 1] != b[j - 1]);
+    if (dp[(size_t)i * stride + j] == sub) {
+      ops_out[--pos] = 'M'; --i; --j;
+    } else if (dp[(size_t)i * stride + j] == dp[(size_t)(i - 1) * stride + j] + 1) {
+      ops_out[--pos] = 'I'; --i;
+    } else {
+      ops_out[--pos] = 'D'; --j;
+    }
+  }
+  while (i > 0) { ops_out[--pos] = 'I'; --i; }
+  while (j > 0) { ops_out[--pos] = 'D'; --j; }
+  const int len = ops_cap - pos;
+  memmove(ops_out, ops_out + pos, len);
+  return len;
+}
+
+// ---------------------------------------------------------------------------
+// Minimizers: (k, w) with splitmix64-mixed 2-bit k-mer codes, identical to
+// deepmod_tpu.align.minimizer. Returns count; positions/hashes arrays must
+// hold at least n entries.
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+int64_t dmt_minimizers(const char* seq, int64_t n, int k, int w,
+                       int64_t* pos_out, uint64_t* hash_out) {
+  static const uint64_t BAD = ~0ULL;
+  const int64_t nk = n - k + 1;
+  if (nk <= 0) return 0;
+  static int8_t code_tab[256];
+  static bool init = false;
+  if (!init) {
+    memset(code_tab, -1, sizeof(code_tab));
+    code_tab[(int)'A'] = 0; code_tab[(int)'a'] = 0;
+    code_tab[(int)'C'] = 1; code_tab[(int)'c'] = 1;
+    code_tab[(int)'G'] = 2; code_tab[(int)'g'] = 2;
+    code_tab[(int)'T'] = 3; code_tab[(int)'t'] = 3;
+    init = true;
+  }
+  std::vector<uint64_t> hashes(nk);
+  uint64_t kmer = 0;
+  int valid_run = 0;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    const int8_t c = code_tab[(uint8_t)seq[i]];
+    if (c < 0) { valid_run = 0; kmer = 0; }
+    else { kmer = ((kmer << 2) | (uint64_t)c) & mask; ++valid_run; }
+    if (i >= k - 1) {
+      hashes[i - k + 1] = (valid_run >= k) ? splitmix64(kmer) : BAD;
+    }
+  }
+  int64_t count = 0;
+  if (nk <= w) {
+    int64_t best = 0;
+    for (int64_t i = 1; i < nk; ++i)
+      if (hashes[i] < hashes[best]) best = i;
+    if (hashes[best] != BAD) { pos_out[count] = best; hash_out[count++] = hashes[best]; }
+    return count;
+  }
+  // sliding-window minima via monotonic deque
+  std::vector<int64_t> deque(nk);
+  int64_t head = 0, tail = 0;
+  int64_t last_taken = -1;
+  for (int64_t i = 0; i < nk; ++i) {
+    while (tail > head && hashes[deque[tail - 1]] > hashes[i]) --tail;
+    deque[tail++] = i;
+    const int64_t win_start = i - w + 1;
+    if (win_start < 0) continue;
+    while (deque[head] < win_start) ++head;
+    const int64_t m = deque[head];
+    if (m != last_taken && hashes[m] != BAD) {
+      pos_out[count] = m;
+      hash_out[count++] = hashes[m];
+      last_taken = m;
+    }
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -1,0 +1,159 @@
+"""ctypes bindings for the native host-side library.
+
+``libdmt_native.so`` is built from dmt_native.cpp (``make -C
+deepmod_tpu/native`` or ``build_native()``). Every binding has a pure
+numpy twin in the main packages; callers use the ``*_native`` functions
+through the dispatch helpers there, so an unbuilt library silently means
+the numpy path (no runtime hard dependency on a compiler).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libdmt_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def build_native(quiet: bool = True) -> bool:
+    """Compile the shared library in place; returns success."""
+    try:
+        proc = subprocess.run(
+            ["make", "-C", _HERE],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        if proc.returncode != 0 and not quiet:
+            print(proc.stderr)
+        return proc.returncode == 0
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.isfile(_LIB_PATH):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _load_failed = True
+        return None
+    lib.dmt_event_stats.restype = ctypes.c_int
+    lib.dmt_event_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.dmt_normalize_signal.restype = None
+    lib.dmt_normalize_signal.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.dmt_global_align.restype = ctypes.c_int
+    lib.dmt_global_align.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char), ctypes.c_int,
+    ]
+    lib.dmt_minimizers.restype = ctypes.c_int64
+    lib.dmt_minimizers.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def event_stats_native(
+    signal: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """(means, stds, n_valid) or None if unavailable; raises ValueError on
+    the 'Less event' condition like the numpy path."""
+    lib = _load()
+    if lib is None:
+        return None
+    sig = np.ascontiguousarray(signal, np.float64)
+    st = np.ascontiguousarray(starts, np.uint64)
+    ln = np.ascontiguousarray(lengths, np.uint64)
+    n_events = len(st)
+    means = np.empty(n_events, np.float32)
+    stds = np.empty(n_events, np.float32)
+    rc = lib.dmt_event_stats(
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sig),
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ln.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_events,
+        means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise ValueError("Less event")
+    return means[:rc], stds[:rc], rc
+
+
+def normalize_signal_native(
+    signal: np.ndarray, span_start: int, span_end: int
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    sig = np.array(signal, np.float64)  # copy; modified in place
+    lib.dmt_normalize_signal(
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sig),
+        span_start, span_end,
+    )
+    return sig
+
+
+def global_align_ops_native(a: str, b: str) -> Optional[List[Tuple[str, int]]]:
+    lib = _load()
+    if lib is None:
+        return None
+    cap = len(a) + len(b) + 1
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.dmt_global_align(
+        a.encode(), len(a), b.encode(), len(b), buf, cap
+    )
+    if n < 0:
+        return None
+    ops: List[Tuple[str, int]] = []
+    raw = buf.raw[:n].decode()
+    for ch in raw:
+        if ops and ops[-1][0] == ch:
+            ops[-1] = (ch, ops[-1][1] + 1)
+        else:
+            ops.append((ch, 1))
+    return ops
+
+
+def minimizers_native(
+    seq: str, k: int, w: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(seq)
+    pos = np.empty(max(n, 1), np.int64)
+    hashes = np.empty(max(n, 1), np.uint64)
+    count = lib.dmt_minimizers(
+        seq.encode(), n, k, w,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return pos[:count].copy(), hashes[:count].copy()

@@ -131,3 +131,61 @@ def test_deterministic_rerun(e2e, tmp_path):
     assert result2.num_windows == result.num_windows
     for b1, b2 in zip(sorted(result.bed_files), sorted(result2.bed_files)):
         assert open(b1).read() == open(b2).read()
+
+
+def test_summarize_only_matches_full_run(e2e, tmp_path):
+    """--predDet 0 rebuilds byte-identical BEDs from predetail files."""
+    import dataclasses
+
+    out, genome, reads, det, result = e2e
+    det0 = dataclasses.replace(
+        det,
+        pred_det=False,
+        pred_path=os.path.join(det.out_folder, det.file_id),
+        out_folder=str(tmp_path / "resum"),
+    )
+    result0 = detect_run(det0)
+    assert len(result0.bed_files) == len(result.bed_files)
+    for b1, b0 in zip(sorted(result.bed_files), sorted(result0.bed_files)):
+        assert os.path.basename(b1) == os.path.basename(b0)
+        assert open(b1).read() == open(b0).read()
+
+
+def test_mod_cluster_rescue_unit():
+    from deepmod_tpu.engine.summarize import apply_mod_cluster_rescue
+
+    dtype = [("refbase", "U1"), ("readbase", "U1"),
+             ("refbasei", np.uint64), ("readbasei", np.uint64),
+             ("mod_pred", np.int64)]
+    # CGCGCG with middle C unmethylated, neighbors methylated
+    seq = "CGCGCG"
+    arr = np.zeros(len(seq), dtype)
+    arr["refbase"] = list(seq)
+    arr["readbase"] = list(seq)
+    arr["refbasei"] = np.arange(len(seq))
+    arr["mod_pred"] = [1, 0, 0, 0, 1, 0]  # C at 2 unmethylated
+    out = apply_mod_cluster_rescue(arr)
+    # neighborhood CpGs (positions 0 and 4) are methylated -> rescue C@2
+    assert out["mod_pred"][2] == 1
+    # a lone unmethylated C with no methylated CpG neighbors stays 0
+    arr2 = np.zeros(3, dtype)
+    arr2["refbase"] = list("ACT")
+    arr2["readbase"] = list("ACT")
+    arr2["mod_pred"] = 0
+    assert apply_mod_cluster_rescue(arr2)["mod_pred"][1] == 0
+
+
+def test_multiprocess_host_ingestion(e2e, tmp_path):
+    """threads>1 (spawn workers for host stages) matches single-process."""
+    import dataclasses
+
+    out, genome, reads, det, result = e2e
+    det_mp = dataclasses.replace(
+        det, out_folder=str(tmp_path / "out_mp"), threads=2,
+        files_per_batch=3,  # force multiple batches across workers
+    )
+    result_mp = detect_run(det_mp)
+    assert result_mp.num_reads == result.num_reads
+    assert result_mp.num_windows == result.num_windows
+    for b1, b2 in zip(sorted(result.bed_files), sorted(result_mp.bed_files)):
+        assert open(b1).read() == open(b2).read()

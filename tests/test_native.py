@@ -1,0 +1,100 @@
+"""Native C++ core vs numpy reference parity.
+
+The library is built on demand here; if the toolchain is unavailable the
+tests skip (every native path has a numpy twin that the rest of the suite
+exercises).
+"""
+
+import numpy as np
+import pytest
+
+from deepmod_tpu.native.lib import (
+    build_native,
+    event_stats_native,
+    global_align_ops_native,
+    minimizers_native,
+    native_available,
+    normalize_signal_native,
+)
+
+pytestmark = pytest.mark.skipif(
+    not (native_available() or build_native()),
+    reason="native toolchain unavailable",
+)
+
+
+def test_event_stats_matches_numpy():
+    from deepmod_tpu.io.events import EVENT_DTYPE
+    from deepmod_tpu.io.signal_norm import event_mean_std
+
+    rng = np.random.RandomState(0)
+    raw = np.round(rng.normal(0, 1.2, 5000), 3)
+    m_event = np.zeros(200, EVENT_DTYPE)
+    starts = np.sort(rng.choice(4900, 200, replace=False))
+    m_event["start"] = starts
+    m_event["length"] = rng.randint(3, 15, 200)
+    want, n_want = event_mean_std(m_event.copy(), raw)
+    means, stds, n = event_stats_native(
+        raw, m_event["start"], m_event["length"]
+    )
+    assert n == n_want
+    np.testing.assert_array_equal(means, want["mean"])
+    np.testing.assert_array_equal(stds, want["stdv"])
+
+
+def test_normalize_matches_numpy():
+    from deepmod_tpu.io.signal_norm import normalize_signal
+
+    rng = np.random.RandomState(1)
+    raw = rng.normal(480, 35, 8000)
+    want = normalize_signal(raw, 50, 7900)
+    got = normalize_signal_native(raw, 50, 7900)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_global_align_matches_numpy():
+    from deepmod_tpu.align import dp
+
+    rng = np.random.RandomState(2)
+    bases = np.array(list("ACGT"))
+    for _ in range(30):
+        a = "".join(rng.choice(bases, rng.randint(0, 40)))
+        b = "".join(rng.choice(bases, rng.randint(0, 40)))
+        native = global_align_ops_native(a, b)
+        # force the numpy path by bypassing the dispatcher
+        saved = dp._native_align
+        dp._native_align = None
+        try:
+            ref = dp.global_align_ops(a, b)
+        finally:
+            dp._native_align = saved
+        assert native == ref, (a, b)
+
+
+def test_minimizers_match_numpy():
+    from deepmod_tpu.align import minimizer as mz
+
+    rng = np.random.RandomState(3)
+    seq = "".join(rng.choice(list("ACGT"), 5000))
+    seq = seq[:1000] + "N" * 7 + seq[1000:]  # N handling
+    native_pos, native_hash = minimizers_native(seq, 15, 10)
+    saved = mz._native_minimizers
+    mz._native_minimizers = None
+    try:
+        ref_pos, ref_hash = mz._minimizers(seq, 15, 10)
+    finally:
+        mz._native_minimizers = saved
+    np.testing.assert_array_equal(native_pos, ref_pos)
+    np.testing.assert_array_equal(native_hash, ref_hash)
+
+
+def test_native_aligner_end_to_end():
+    """Aligner produces working chains with the native minimizer/DP core."""
+    from deepmod_tpu.align.aligner import MinimizerAligner
+
+    rng = np.random.RandomState(4)
+    genome = {"chrN": "".join(rng.choice(list("ACGT"), 20000))}
+    aligner = MinimizerAligner(genome)
+    read = genome["chrN"][7000:8500]
+    recs = aligner.align({"r": read})
+    assert len(recs) == 1 and abs(recs[0].pos - 1 - 7000) <= 64
