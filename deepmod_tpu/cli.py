@@ -165,6 +165,7 @@ def cmd_getfeatures(args) -> int:
         recursive=bool(args.recursive),
         files_per_batch=args.files_per_thread,
         save_format=args.save_format,
+        threads=args.threads,
     )
     result = getfeatures_run(config)
     print(
@@ -173,6 +174,36 @@ def cmd_getfeatures(args) -> int:
     )
     for kind, files in result.errors.items():
         print(f"  {kind}: {len(files)}")
+    return 0
+
+
+def cmd_predfeatures(args) -> int:
+    """Standalone prediction over feature files with per-file tp/fp/fn/tn
+    (the reference's mPred path, which its CLI never wired up —
+    myMultiBiRNN.py:382-420, 465-477)."""
+    from deepmod_tpu.models.tf_import import load_model
+    from deepmod_tpu.train.loader import TestSplit, find_feature_files
+    from deepmod_tpu.train.trainer import predict_feature_files
+
+    params, model_config = load_model(args.modfile)
+    files = []
+    for folder in args.wrkBase.split(","):
+        files.extend(find_feature_files(folder, bool(args.recursive)))
+    if not files:
+        print("no feature files found", file=sys.stderr)
+        return 1
+    split = TestSplit.parse(args.test) if args.test else None
+    out = os.path.join(args.outFolder, f"{args.FileID}_mpred.txt")
+    os.makedirs(args.outFolder, exist_ok=True)
+    results = predict_feature_files(
+        params, model_config, files, out,
+        window_size=args.windowsize, split=split,
+    )
+    tp = sum(r[0] for r in results.values())
+    fp = sum(r[1] for r in results.values())
+    fn = sum(r[2] for r in results.values())
+    tn = sum(r[3] for r in results.values())
+    print(f"total: tp={tp} fp={fp} fn={fn} tn={tn} -> {out}")
     return 0
 
 
@@ -284,6 +315,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--save_format", default="xy.gz", choices=["xy.gz", "npz", "both"]
     )
     p.set_defaults(func=cmd_getfeatures)
+
+    p = sub.add_parser(
+        "predfeatures", help="Predict over feature files (tp/fp/fn/tn per file)"
+    )
+    _common_flags(p)
+    p.add_argument("--modfile", type=str, required=True)
+    p.add_argument("--test", default=None)
+    p.set_defaults(func=cmd_predfeatures)
 
     p = sub.add_parser("synth", help="Generate a synthetic test dataset")
     p.add_argument("--out", required=True)

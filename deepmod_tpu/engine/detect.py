@@ -34,26 +34,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deepmod_tpu.aggregate.summarize import (
-    CountsMap,
-    accumulate_base_map,
-    write_bed,
-)
-from deepmod_tpu.align.aligner import get_aligner
-from deepmod_tpu.align.cigar import (
-    AlignmentRejected,
-    BaseMapResult,
-    expand_alignment,
-)
-from deepmod_tpu.align.sam import filter_best_alignments
-from deepmod_tpu.features.builder import (
-    FeatureBuildError,
-    build_feature_matrix,
-    extract_windows,
-    map_predictions_to_base_map,
-)
-from deepmod_tpu.io.fast5 import Fast5Read, Fast5ReadOptions, read_fast5_batch
-from deepmod_tpu.io.fasta import FastaReference
+from deepmod_tpu.aggregate.summarize import CountsMap, write_bed
+from deepmod_tpu.features.builder import FeatureBuildError
 from deepmod_tpu.models.bilstm import BiLSTMConfig, bilstm_predict
 from deepmod_tpu.models.tf_import import load_model
 from deepmod_tpu.utils import ErrorCensus

@@ -60,6 +60,7 @@ class GetFeaturesConfig:
     files_per_batch: int = 1000
     save_format: str = "xy.gz"         # 'xy.gz' | 'npz' | 'both'
     wipe_out_folder: bool = True       # reference wipes it (:659-662)
+    threads: int = 1                   # worker processes over batches
 
 
 @dataclasses.dataclass
@@ -144,6 +145,97 @@ def build_label_options(config: GetFeaturesConfig, fadict: Dict[str, str]) -> La
     )
 
 
+
+_GF_STATE: Dict[str, object] = {}
+
+
+def _init_gf_worker(config: GetFeaturesConfig, fadict=None, label_opts=None,
+                    aligner=None) -> None:
+    """Per-worker one-time setup: reference + labels + aligner index."""
+    if fadict is None:
+        fadict = read_fasta(config.ref, config.region[0])
+    if label_opts is None:
+        label_opts = build_label_options(config, fadict)
+    if aligner is None:
+        aligner = get_aligner(config.ref, config.align_str, ref_seqs=fadict)
+    _GF_STATE["config"] = config
+    _GF_STATE["fadict"] = fadict
+    _GF_STATE["label_opts"] = label_opts
+    _GF_STATE["aligner"] = aligner
+
+
+def _gf_process_batch(batch_id: int, batch: List[str]):
+    """One fast5 batch -> flushed feature files (runs in worker or inline)."""
+    config: GetFeaturesConfig = _GF_STATE["config"]  # type: ignore[assignment]
+    fadict = _GF_STATE["fadict"]
+    label_opts = _GF_STATE["label_opts"]
+    aligner = _GF_STATE["aligner"]
+
+    errors = ErrorCensus()
+    read_opts = Fast5ReadOptions(
+        basecall_1d=config.basecall_1d,
+        basecall_2strand=config.basecall_2strand,
+        signal_group=config.signal_group,
+        move=config.move,
+    )
+    folder = os.path.join(config.out_folder, str(batch_id))
+    os.makedirs(folder, exist_ok=True)
+    flusher = _FeatureFlusher(
+        folder, config.size_per_batch * 1e7, config.save_format
+    )
+    num_reads = 0
+    num_rows = 0
+
+    f5data = read_fast5_batch(batch, read_opts, errors)
+    records = aligner.align({rid: r.basecall for rid, r in f5data.items()})
+    best = filter_best_alignments(records)
+    for rid, read in f5data.items():
+        if rid not in best:
+            errors.add("Not in alignment sam", read.path)
+    for rid in sorted(best):
+        rec = best[rid]
+        read = f5data[rid]
+        # skip chromosomes without any labels (:135-138)
+        has_labels = (
+            (label_opts.fulmod and label_opts.fulmod.get(rec.rname))
+            or (label_opts.anymod and label_opts.anymod.get(rec.rname))
+            or (label_opts.nomod and label_opts.nomod.get(rec.rname))
+        )
+        if not has_labels:
+            continue
+        pos0 = rec.pos - 1
+        chrom, rstart, rend = config.region
+        if not (
+            chrom in ("", None, rec.rname)
+            and (rstart in ("", None) or pos0 > rstart)
+            and (rend in ("", None) or pos0 + len(read.m_event) < rend)
+        ):
+            continue
+        refseq = fadict.get(rec.rname)
+        if refseq is None:
+            continue
+        try:
+            bmr = expand_alignment(
+                refseq, rec.seq, pos0, rec.cigar, rec.strand, rec.rname,
+                len(read.m_event), min_events=500,
+                cpg_canonicalize=(label_opts.motif == "CG"),
+            )
+            mfeat = build_labeled_features(
+                read.m_event, read.raw_signals, read.basecall, bmr,
+                label_opts, fnum=config.fnum,
+            )
+        except (AlignmentRejected, FeatureBuildError) as exc:
+            errors.add(str(exc), read.path)
+            continue
+        if mfeat is None or len(mfeat) == 0:
+            continue
+        flusher.add(mfeat, read.path)
+        num_reads += 1
+        num_rows += len(mfeat)
+    flusher.flush()
+    return flusher.written, num_reads, num_rows, errors.errors
+
+
 def getfeatures_run(config: GetFeaturesConfig) -> GetFeaturesResult:
     start_time = time.time()
     if config.wipe_out_folder and os.path.isdir(config.out_folder):
@@ -163,71 +255,67 @@ def getfeatures_run(config: GetFeaturesConfig) -> GetFeaturesResult:
     )
     files = sorted(discover_fast5(config.wrk_base, config.recursive))
     aligner = get_aligner(config.ref, config.align_str, ref_seqs=fadict)
-    size_limit = config.size_per_batch * 1e7
 
     num_reads = 0
     num_rows = 0
     all_written: List[str] = []
-    for batch_id in range(
-        0, max(1, (len(files) + config.files_per_batch - 1) // config.files_per_batch)
-    ):
-        batch = files[
-            batch_id * config.files_per_batch : (batch_id + 1) * config.files_per_batch
-        ]
-        if not batch:
-            continue
-        folder = os.path.join(config.out_folder, str(batch_id))
-        os.makedirs(folder, exist_ok=True)
-        flusher = _FeatureFlusher(folder, size_limit, config.save_format)
+    n_batches = max(
+        1, (len(files) + config.files_per_batch - 1) // config.files_per_batch
+    )
+    batches = [
+        (
+            batch_id,
+            files[
+                batch_id * config.files_per_batch : (batch_id + 1)
+                * config.files_per_batch
+            ],
+        )
+        for batch_id in range(n_batches)
+    ]
+    batches = [(bid, b) for bid, b in batches if b]
 
-        f5data = read_fast5_batch(batch, read_opts, errors)
-        records = aligner.align({rid: r.basecall for rid, r in f5data.items()})
-        best = filter_best_alignments(records)
-        for rid, read in f5data.items():
-            if rid not in best:
-                errors.add("Not in alignment sam", read.path)
-        for rid in sorted(best):
-            rec = best[rid]
-            read = f5data[rid]
-            # skip chromosomes without any labels (:135-138)
-            has_labels = (
-                (label_opts.fulmod and label_opts.fulmod.get(rec.rname))
-                or (label_opts.anymod and label_opts.anymod.get(rec.rname))
-                or (label_opts.nomod and label_opts.nomod.get(rec.rname))
+    if config.threads > 1 and len(batches) > 1:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + existing if existing else "")
             )
-            if not has_labels:
-                continue
-            pos0 = rec.pos - 1
-            chrom, rstart, rend = config.region
-            if not (
-                chrom in ("", None, rec.rname)
-                and (rstart in ("", None) or pos0 > rstart)
-                and (rend in ("", None) or pos0 + len(read.m_event) < rend)
-            ):
-                continue
-            refseq = fadict.get(rec.rname)
-            if refseq is None:
-                continue
-            try:
-                bmr = expand_alignment(
-                    refseq, rec.seq, pos0, rec.cigar, rec.strand, rec.rname,
-                    len(read.m_event), min_events=500,
-                    cpg_canonicalize=(label_opts.motif == "CG"),
-                )
-                mfeat = build_labeled_features(
-                    read.m_event, read.raw_signals, read.basecall, bmr,
-                    label_opts, fnum=config.fnum,
-                )
-            except (AlignmentRejected, FeatureBuildError) as exc:
-                errors.add(str(exc), read.path)
-                continue
-            if mfeat is None or len(mfeat) == 0:
-                continue
-            flusher.add(mfeat, read.path)
-            num_reads += 1
-            num_rows += len(mfeat)
-        flusher.flush()
-        all_written.extend(flusher.written)
+        ctx = mp.get_context("spawn")
+        with cf.ProcessPoolExecutor(
+            max_workers=config.threads,
+            mp_context=ctx,
+            initializer=_init_gf_worker,
+            initargs=(config,),
+        ) as pool:
+            futures = {
+                pool.submit(_gf_process_batch, batch_id, batch): batch_id
+                for batch_id, batch in batches
+            }
+            for fut in cf.as_completed(futures):
+                written, reads, rows, batch_errors = fut.result()
+                all_written.extend(written)
+                num_reads += reads
+                num_rows += rows
+                for kind, paths in batch_errors.items():
+                    errors.extend(kind, paths)
+    else:
+        _init_gf_worker(config, fadict=fadict, label_opts=label_opts,
+                        aligner=aligner)
+        for batch_id, batch in batches:
+            written, reads, rows, batch_errors = _gf_process_batch(
+                batch_id, batch
+            )
+            all_written.extend(written)
+            num_reads += reads
+            num_rows += rows
+            for kind, paths in batch_errors.items():
+                errors.extend(kind, paths)
 
     return GetFeaturesResult(
         out_folder=config.out_folder,

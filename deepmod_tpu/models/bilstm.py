@@ -163,14 +163,80 @@ def _stack_direction(
     return out
 
 
+def _bidi_fused_features(
+    params: Params, x: jax.Array, config: BiLSTMConfig
+) -> jax.Array:
+    """Both directions of each layer in ONE batched recurrence.
+
+    The fw and bw stacks never interact until the output concat, so their
+    per-step (B, H) @ (H, 4H) matmuls are fused into a single batched
+    (2, B, H) @ (2, H, 4H) contraction — halving the number of sequential
+    MXU dispatches vs running the directions one after the other. The bw
+    lane lives in reversed-time layout through all layers; with odd T the
+    center index is reversal-invariant, so the readout needs no flip.
+    """
+    h = config.num_hidden
+    seq = jnp.stack([x, x[:, ::-1]], axis=0)  # (2, B, T, F)
+    for layer in range(config.num_layers):
+        k_fw = params["fw"][layer]
+        k_bw = params["bw"][layer]
+        in_dim = seq.shape[-1]
+        w_x = jnp.stack([k_fw["kernel"][:in_dim], k_bw["kernel"][:in_dim]])
+        w_h = jnp.stack([k_fw["kernel"][in_dim:], k_bw["kernel"][in_dim:]])
+        bias = jnp.stack([k_fw["bias"], k_bw["bias"]])
+        x_proj = jnp.einsum(
+            "dbtf,dfg->dbtg", seq, w_x, preferred_element_type=jnp.float32
+        ) + bias[:, None, None, :]
+
+        def step(carry, xp_t):
+            c, hh = carry
+            gates = xp_t + jnp.einsum(
+                "dbh,dhg->dbg", hh, w_h, preferred_element_type=jnp.float32
+            )
+            i, j, f, o = jnp.split(gates, 4, axis=-1)
+            new_c = c * jax.nn.sigmoid(f + config.forget_bias) + jax.nn.sigmoid(
+                i
+            ) * jnp.tanh(j)
+            new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+            return (new_c, new_h), new_h
+
+        batch = seq.shape[1]
+        init = (
+            jnp.zeros((2, batch, h), x_proj.dtype),
+            jnp.zeros((2, batch, h), x_proj.dtype),
+        )
+        _, h_seq = jax.lax.scan(step, init, jnp.moveaxis(x_proj, 2, 0))
+        seq = jnp.moveaxis(h_seq, 0, 2)  # (2, B, T, H)
+    center = config.center
+    if config.timesteps % 2 == 1:
+        fw_c = seq[0, :, center]
+        bw_c = seq[1, :, center]
+    else:
+        fw_c = seq[0, :, center]
+        bw_c = seq[1, :, config.timesteps - 1 - center]
+    return jnp.concatenate([fw_c, bw_c], axis=-1)
+
+
 def bilstm_center_features(
     params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
 ) -> jax.Array:
-    """(B, T, F) windows -> (B, 2H) center-timestep [fw; bw] features."""
-    fw_seq = _stack_direction(params["fw"], x, config.forget_bias, False, use_pallas)
-    bw_seq = _stack_direction(params["bw"], x, config.forget_bias, True, use_pallas)
-    center = config.center
-    return jnp.concatenate([fw_seq[:, center], bw_seq[:, center]], axis=-1)
+    """(B, T, F) windows -> (B, 2H) center-timestep [fw; bw] features.
+
+    use_pallas=True routes through the whole-layer fused Pallas kernel
+    (ops.bilstm_fused) — in-kernel input projections, VMEM-resident
+    state; otherwise the XLA scan path with batched fw/bw directions.
+    """
+    if not use_pallas:
+        return _bidi_fused_features(params, x, config)
+    from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center
+
+    return bilstm_fused_center(
+        params, x,
+        num_layers=config.num_layers,
+        num_hidden=config.num_hidden,
+        timesteps=config.timesteps,
+        forget_bias=config.forget_bias,
+    )
 
 
 def bilstm_logits(

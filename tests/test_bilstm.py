@@ -165,3 +165,16 @@ def test_jit_static_shapes(small_setup):
     out1 = fn(params, jnp.asarray(x))
     out2 = fn(params, jnp.asarray(x[::-1].copy()))
     assert out1.shape == out2.shape == (x.shape[0],)
+
+
+def test_fused_pallas_v2_matches_scan(small_setup):
+    """Whole-layer fused kernel (ops.bilstm_fused) parity in interpret mode."""
+    config, params, x = small_setup
+    from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center
+    from deepmod_tpu.models.bilstm import bilstm_center_features
+
+    got = np.asarray(
+        bilstm_fused_center(params, jnp.asarray(x), tile_b=8, interpret=True)
+    )
+    want = np.asarray(bilstm_center_features(params, jnp.asarray(x), config))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
