@@ -64,15 +64,20 @@ def main() -> None:
     config = BiLSTMConfig(num_input=7, num_hidden=100, timesteps=21)
     params = jax.device_put(init_bilstm_params(jax.random.PRNGKey(0), config))
 
-    batch_sizes = (16384, 32768, 65536) if backend == "tpu" else (4096,)
-    use_pallas_options = [False] + ([True] if backend == "tpu" else [])
+    batch_sizes = (32768, 65536) if backend == "tpu" else (4096,)
+    # (use_pallas, precision) variants; pallas+bf16 is the fastest
+    # supported production mode, pallas+fp32 is bit-compatible with the
+    # XLA path
+    variants = [(False, "fp32")]
+    if backend == "tpu":
+        variants += [(True, "fp32"), (True, "bf16")]
 
     best = 0.0
     best_tag = ""
-    for use_pallas in use_pallas_options:
+    for use_pallas, precision in variants:
         fn = jax.jit(
-            lambda p, x, up=use_pallas: bilstm_predict(
-                p, x, config, use_pallas=up
+            lambda p, x, up=use_pallas, pr=precision: bilstm_predict(
+                p, x, config, use_pallas=up, precision=pr
             )
         )
         for batch in batch_sizes:
@@ -85,7 +90,9 @@ def main() -> None:
                 continue
             if rate > best:
                 best = rate
-                best_tag = f"{'pallas' if use_pallas else 'xla'}-b{batch}"
+                best_tag = (
+                    f"{'pallas' if use_pallas else 'xla'}-{precision}-b{batch}"
+                )
 
     print(
         json.dumps(

@@ -30,8 +30,8 @@ class PositionCounts:
     """Dense per-position counters for one (chr, strand)."""
 
     length: int
-    coverage: np.ndarray   # int64[length]
-    mod_count: np.ndarray  # int64[length]
+    coverage: np.ndarray   # int32[length] (coverage >2e9 per site is not real)
+    mod_count: np.ndarray  # int32[length]
     seen: np.ndarray       # bool[length]: position appeared in any base map
                            # (even via deletion rows, which leave coverage 0
                            # but still create a dict entry in the reference,
@@ -41,8 +41,8 @@ class PositionCounts:
     def zeros(cls, length: int) -> "PositionCounts":
         return cls(
             length=length,
-            coverage=np.zeros(length, np.int64),
-            mod_count=np.zeros(length, np.int64),
+            coverage=np.zeros(length, np.int32),
+            mod_count=np.zeros(length, np.int32),
             seen=np.zeros(length, bool),
         )
 
@@ -72,9 +72,9 @@ def accumulate_base_map(
     pc.seen[bm["refbasei"][is_target].astype(np.int64)] = True
     sel = is_target & (bm["readbase"] != "-")
     pos = bm["refbasei"][sel].astype(np.int64)
-    pc.coverage += np.bincount(pos, minlength=pc.length)
+    pc.coverage += np.bincount(pos, minlength=pc.length).astype(np.int32)
     modded = pos[bm["mod_pred"][sel] == 1]
-    pc.mod_count += np.bincount(modded, minlength=pc.length)
+    pc.mod_count += np.bincount(modded, minlength=pc.length).astype(np.int32)
 
 
 def merge_counts(dest: CountsMap, src: CountsMap) -> None:

@@ -79,6 +79,7 @@ def cmd_detect(args) -> int:
         pred_path=args.predpath,
         mod_cluster=bool(args.mod_cluster),
         threads=args.threads,
+        precision=args.precision,
     )
     result = detect_run(config)
     print(
@@ -285,6 +286,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outputlayer", default="", choices=["", "sigmoid"])
     p.add_argument("--Base", type=str, default="C", choices=["A", "C", "G", "T"])
     p.add_argument("--mod_cluster", default=0, type=int, choices=[0, 1])
+    p.add_argument(
+        "--precision", default="fp32", choices=["fp32", "bf16"],
+        help="bf16 halves classifier memory traffic at a small accuracy cost",
+    )
     p.set_defaults(func=cmd_detect)
 
     p = sub.add_parser("train", help="Train a modification classifier")

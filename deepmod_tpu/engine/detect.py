@@ -71,6 +71,11 @@ class DetectConfig:
     write_per_read: bool = True       # predetail HDF5 + index files
     mod_cluster: bool = False         # inline CpG-cluster rescue
     threads: int = 1                  # host-side ingestion workers
+    precision: str = "fp32"           # 'fp32' | 'bf16' (pallas path)
+    # multi-host sharding: (host_id, num_hosts); each host processes
+    # files[host_id::num_hosts] (set automatically from
+    # jax.process_index()/process_count() when host_shard == 'auto')
+    host_shard: Optional[Tuple[int, int]] = None
 
 
 @dataclasses.dataclass
@@ -98,16 +103,40 @@ class WindowPredictor:
         config: BiLSTMConfig,
         buckets: Sequence[int] = (512, 4096, 16384),
         use_pallas: Optional[bool] = None,
+        data_parallel: bool = True,
+        precision: str = "fp32",
     ):
-        self.params = jax.device_put(params)
         self.config = config
         self.buckets = sorted(buckets)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        self._fn = jax.jit(
-            lambda p, x: bilstm_predict(p, x, config, use_pallas=self.use_pallas)
-        )
+        self.precision = precision
+        n_dev = jax.device_count()
+        if data_parallel and n_dev > 1:
+            # shard window batches over all devices, params replicated;
+            # buckets are multiples of any sane device count
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, replicated)
+            self._fn = jax.jit(
+                lambda p, x: bilstm_predict(
+                    p, x, config, use_pallas=self.use_pallas,
+                    precision=self.precision,
+                ),
+                in_shardings=(replicated, NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P("data")),
+            )
+        else:
+            self.params = jax.device_put(params)
+            self._fn = jax.jit(
+                lambda p, x: bilstm_predict(
+                    p, x, config, use_pallas=self.use_pallas,
+                    precision=self.precision,
+                )
+            )
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -283,9 +312,9 @@ def consume_host_results(
         pc.seen[bm["refbasei"][is_target].astype(np.int64)] = True
         sel = is_target & (bm["readbase"] != "-")
         pos = bm["refbasei"][sel].astype(np.int64)
-        pc.coverage += np.bincount(pos, minlength=pc.length)
+        pc.coverage += np.bincount(pos, minlength=pc.length).astype(np.int32)
         modded = pos[bm["mod_pred"][sel] == 1]
-        pc.mod_count += np.bincount(modded, minlength=pc.length)
+        pc.mod_count += np.bincount(modded, minlength=pc.length).astype(np.int32)
 
         if config.write_per_read:
             pred_key = f"pred_{readk_ind}"
@@ -359,12 +388,20 @@ def detect_run(config: DetectConfig) -> DetectResult:
         raise ValueError(
             f"model expects fnum={model_config.num_input}, got {config.fnum}"
         )
-    predictor = WindowPredictor(params, model_config, use_pallas=config.use_pallas)
+    predictor = WindowPredictor(
+        params, model_config, use_pallas=config.use_pallas,
+        precision=config.precision,
+    )
 
     from deepmod_tpu.utils.profiling import StageTimer
 
     timer = StageTimer()
     files = sorted(discover_fast5(config.wrk_base, config.recursive))
+    if config.host_shard is not None:
+        host_id, num_hosts = config.host_shard
+        files = files[host_id::num_hosts]
+    elif jax.process_count() > 1:
+        files = files[jax.process_index() :: jax.process_count()]
     errors = ErrorCensus()
     counts: CountsMap = {}
     all_index: List[List[str]] = []

@@ -129,9 +129,9 @@ def _accumulate_detail(
     pc.seen[m_pred["refbasei"][is_target].astype(np.int64)] = True
     sel = is_target & (m_pred["readbase"] != "-")
     pos = m_pred["refbasei"][sel].astype(np.int64)
-    pc.coverage += np.bincount(pos, minlength=pc.length)
+    pc.coverage += np.bincount(pos, minlength=pc.length).astype(np.int32)
     modded = pos[m_pred["mod_pred"][sel] == 1]
-    pc.mod_count += np.bincount(modded, minlength=pc.length)
+    pc.mod_count += np.bincount(modded, minlength=pc.length).astype(np.int32)
 
 
 def summarize_run(

@@ -218,13 +218,16 @@ def _bidi_fused_features(
 
 
 def bilstm_center_features(
-    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
+    precision: str = "fp32",
 ) -> jax.Array:
     """(B, T, F) windows -> (B, 2H) center-timestep [fw; bw] features.
 
     use_pallas=True routes through the whole-layer fused Pallas kernel
     (ops.bilstm_fused) — in-kernel input projections, VMEM-resident
     state; otherwise the XLA scan path with batched fw/bw directions.
+    precision='bf16' (pallas path only) stores sequences/weights in
+    bfloat16 with fp32 accumulation.
     """
     if not use_pallas:
         return _bidi_fused_features(params, x, config)
@@ -236,14 +239,16 @@ def bilstm_center_features(
         num_hidden=config.num_hidden,
         timesteps=config.timesteps,
         forget_bias=config.forget_bias,
+        precision=precision,
     )
 
 
 def bilstm_logits(
-    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
+    precision: str = "fp32",
 ) -> jax.Array:
     """(B, T, F) -> (B, 2) logits, replicating myMultiBiRNN.py:50-55."""
-    feats = bilstm_center_features(params, x, config, use_pallas)
+    feats = bilstm_center_features(params, x, config, use_pallas, precision)
     out = jnp.dot(feats, params["out_w"], preferred_element_type=jnp.float32)
     out = out + params["out_b"]
     if config.output_layer == "sigmoid":
@@ -252,16 +257,22 @@ def bilstm_logits(
 
 
 def bilstm_probs(
-    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
+    precision: str = "fp32",
 ) -> jax.Array:
-    return jax.nn.softmax(bilstm_logits(params, x, config, use_pallas), axis=-1)
+    return jax.nn.softmax(
+        bilstm_logits(params, x, config, use_pallas, precision), axis=-1
+    )
 
 
 def bilstm_predict(
-    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False
+    params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
+    precision: str = "fp32",
 ) -> jax.Array:
     """argmax class per window (mfpred, myMultiBiRNN.py:59-61)."""
-    return jnp.argmax(bilstm_logits(params, x, config, use_pallas), axis=-1)
+    return jnp.argmax(
+        bilstm_logits(params, x, config, use_pallas, precision), axis=-1
+    )
 
 
 # Class weights for unbalanced training (myMultiBiRNN.py:13).

@@ -62,6 +62,7 @@ def _layer_kernel(
     out_fw_ref, out_bw_ref,
     c_fw, h_fw, c_bw, h_bw,
     *, timesteps: int, forget_bias: float, reverse_bw_read: bool,
+    seq_dtype=jnp.float32,
 ):
     c_fw[...] = jnp.zeros_like(c_fw)
     h_fw[...] = jnp.zeros_like(h_fw)
@@ -69,10 +70,13 @@ def _layer_kernel(
     h_bw[...] = jnp.zeros_like(h_bw)
 
     def cell(x_t, h, c, wx_ref, wh_ref, b_ref):
+        # matmuls accumulate fp32 regardless of storage dtype (bf16 mode
+        # keeps sequences/weights half-width; state stays fp32)
         gates = (
             jnp.dot(x_t, wx_ref[...], preferred_element_type=jnp.float32)
-            + jnp.dot(h, wh_ref[...], preferred_element_type=jnp.float32)
-            + b_ref[...]
+            + jnp.dot(h.astype(seq_dtype), wh_ref[...],
+                      preferred_element_type=jnp.float32)
+            + b_ref[...].astype(jnp.float32)
         )
         i = gates[:, 0 * LANE : 1 * LANE]
         j = gates[:, 1 * LANE : 2 * LANE]
@@ -83,17 +87,20 @@ def _layer_kernel(
         return new_h, new_c
 
     def body(t, _):
-        x_fw = in_fw_ref[:, pl.ds(t, 1), :][:, 0, :]
+        # time-major layout: the dynamic index lives on the OUTERMOST dim,
+        # so every load/store slice is a fully tiled (tile_b, LANE) block
+        # (Mosaic cannot align dynamic indices on tiled dims for bf16)
+        x_fw = in_fw_ref[pl.ds(t, 1), :, :][0]
         t_bw = (timesteps - 1 - t) if reverse_bw_read else t
-        x_bw = in_bw_ref[:, pl.ds(t_bw, 1), :][:, 0, :]
+        x_bw = in_bw_ref[pl.ds(t_bw, 1), :, :][0]
         nh_fw, nc_fw = cell(x_fw, h_fw[...], c_fw[...], wx_fw_ref, wh_fw_ref, b_fw_ref)
         nh_bw, nc_bw = cell(x_bw, h_bw[...], c_bw[...], wx_bw_ref, wh_bw_ref, b_bw_ref)
         h_fw[...] = nh_fw
         c_fw[...] = nc_fw
         h_bw[...] = nh_bw
         c_bw[...] = nc_bw
-        out_fw_ref[:, pl.ds(t, 1), :] = nh_fw[:, None, :]
-        out_bw_ref[:, pl.ds(t, 1), :] = nh_bw[:, None, :]
+        out_fw_ref[pl.ds(t, 1), :, :] = nh_fw[None].astype(seq_dtype)
+        out_bw_ref[pl.ds(t, 1), :, :] = nh_bw[None].astype(seq_dtype)
         return 0
 
     jax.lax.fori_loop(0, timesteps, body, 0)
@@ -108,12 +115,13 @@ def _run_layer(
     reverse_bw_read: bool,
     tile_b: int,
     interpret: bool,
+    seq_dtype=jnp.float32,
 ):
     wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw = weights
-    batch_p = in_fw.shape[0]
+    batch_p = in_fw.shape[1]  # time-major: (T, B, LANE)
     grid = (batch_p // tile_b,)
     seq_spec = pl.BlockSpec(
-        (tile_b, timesteps, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (timesteps, tile_b, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     w_spec = pl.BlockSpec((LANE, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -123,13 +131,14 @@ def _run_layer(
             timesteps=timesteps,
             forget_bias=forget_bias,
             reverse_bw_read=reverse_bw_read,
+            seq_dtype=seq_dtype,
         ),
         grid=grid,
         in_specs=[seq_spec, seq_spec, w_spec, w_spec, b_spec, w_spec, w_spec, b_spec],
         out_specs=(seq_spec, seq_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((batch_p, timesteps, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((batch_p, timesteps, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((timesteps, batch_p, LANE), seq_dtype),
+            jax.ShapeDtypeStruct((timesteps, batch_p, LANE), seq_dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_b, LANE), jnp.float32),
@@ -149,7 +158,8 @@ def _run_layer(
 
 @functools.partial(jax.jit, static_argnames=("num_layers", "num_hidden",
                                              "timesteps", "forget_bias",
-                                             "tile_b", "interpret"))
+                                             "tile_b", "interpret",
+                                             "precision"))
 def bilstm_fused_center(
     params: Dict[str, Any],
     x: jnp.ndarray,
@@ -159,18 +169,27 @@ def bilstm_fused_center(
     forget_bias: float = 1.0,
     tile_b: int = 128,
     interpret: bool | None = None,
+    precision: str = "fp32",
 ) -> jnp.ndarray:
-    """(B, T, F) -> (B, 2H) center features via the fused layer kernels."""
+    """(B, T, F) -> (B, 2H) center features via the fused layer kernels.
+
+    precision='bf16' stores the inter-layer sequences and weights in
+    bfloat16 (matmuls still accumulate fp32, cell state stays fp32) —
+    roughly halves HBM traffic and doubles MXU rate at a small accuracy
+    cost; fp32 is bit-compatible with the XLA scan path.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    seq_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     batch, t, in_dim = x.shape
     assert t == timesteps
     batch_p = _round_up(max(batch, 1), tile_b)
 
     x_pad = jnp.pad(
-        x.astype(jnp.float32),
+        x.astype(seq_dtype),
         ((0, batch_p - batch), (0, 0), (0, LANE - in_dim)),
     )
+    x_pad = jnp.moveaxis(x_pad, 1, 0)  # time-major (T, B, LANE)
     in_fw = x_pad
     in_bw = x_pad  # layer 0 reads the bw lane time-reversed
     reverse_bw_read = True
@@ -179,20 +198,25 @@ def bilstm_fused_center(
         lp_fw = params["fw"][layer]
         lp_bw = params["bw"][layer]
         cur_in = in_dim if layer == 0 else h
-        wx_fw, wh_fw = _pad_weights(jnp.asarray(lp_fw["kernel"]), cur_in, h)
-        wx_bw, wh_bw = _pad_weights(jnp.asarray(lp_bw["kernel"]), cur_in, h)
+        wx_fw, wh_fw = _pad_weights(
+            jnp.asarray(lp_fw["kernel"]).astype(seq_dtype), cur_in, h
+        )
+        wx_bw, wh_bw = _pad_weights(
+            jnp.asarray(lp_bw["kernel"]).astype(seq_dtype), cur_in, h
+        )
         b_fw = _pad_gate_blocks(jnp.asarray(lp_fw["bias"]), h)[None, :]
         b_bw = _pad_gate_blocks(jnp.asarray(lp_bw["bias"]), h)[None, :]
         in_fw, in_bw = _run_layer(
             in_fw, in_bw,
             (wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw),
             timesteps, forget_bias, reverse_bw_read, tile_b, interpret,
+            seq_dtype,
         )
         reverse_bw_read = False  # bw lane already reversed-layout
     center = timesteps // 2
-    fw_c = in_fw[:batch, center, :h]
+    fw_c = in_fw[center, :batch, :h]
     if timesteps % 2 == 1:
-        bw_c = in_bw[:batch, center, :h]
+        bw_c = in_bw[center, :batch, :h]
     else:
-        bw_c = in_bw[:batch, timesteps - 1 - center, :h]
-    return jnp.concatenate([fw_c, bw_c], axis=-1)
+        bw_c = in_bw[timesteps - 1 - center, :batch, :h]
+    return jnp.concatenate([fw_c, bw_c], axis=-1).astype(jnp.float32)
