@@ -103,7 +103,13 @@ def _layer_kernel(
         out_bw_ref[pl.ds(t, 1), :, :] = nh_bw[None].astype(seq_dtype)
         return 0
 
-    jax.lax.fori_loop(0, timesteps, body, 0)
+    if timesteps <= 32:
+        # static unroll: T is small and known at trace time; lets Mosaic
+        # schedule loads/compute across steps without loop overhead
+        for t in range(timesteps):
+            body(t, 0)
+    else:
+        jax.lax.fori_loop(0, timesteps, body, 0)
 
 
 def _run_layer(

@@ -46,6 +46,9 @@ class SynthConfig:
     mod_offset: int = 0
     mod_level_shift: float = 0.0        # added to signal level at mod bases
     seed: int = 0
+    # fast5 flavor: 'v2' (albacore 2.x events), 'v1' (albacore 1.x,
+    # second-based starts), 'move' (guppy move table)
+    fast5_style: str = "v2"
 
 
 def make_genome(rng: np.random.RandomState, sizes: Dict[str, int]) -> Dict[str, str]:
@@ -134,11 +137,15 @@ def write_read_fast5(
     rng: np.random.RandomState,
     config: SynthConfig,
 ) -> None:
-    """Write one Albacore-v2-style single-read fast5."""
+    """Write one single-read fast5 in the configured flavor."""
     import h5py
 
     signal, starts, lengths, kmers, move = synth_signal(rng, seq, config)
     n = len(seq)
+
+    if config.fast5_style == "move":
+        _write_move_fast5(path, read_id, seq, signal, config)
+        return
 
     # insert stay events: duplicate random rows with move=0 by splitting
     # their samples (keeps starts/lengths consistent)
@@ -161,6 +168,23 @@ def write_read_fast5(
         row["mean"] = seg.mean() if len(seg) else 0.0
         row["stdv"] = seg.std() if len(seg) else 0.0
 
+    if config.fast5_style == "v1":
+        # albacore 1.x: starts/lengths in SECONDS relative to raw start
+        rate = config.sampling_rate
+        ev_v1 = np.zeros(
+            len(ev),
+            dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"),
+                   ("length", "<f8"), ("model_state", "S5"), ("move", "<i8")],
+        )
+        for field in ("mean", "stdv", "model_state", "move"):
+            ev_v1[field] = ev[field]
+        ev_v1["start"] = ev["start"].astype(np.float64) / rate
+        ev_v1["length"] = ev["length"].astype(np.float64) / rate
+        ev = ev_v1
+        version = b"1.2.6"
+    else:
+        version = b"2.3.4"
+
     with h5py.File(path, "w") as fh:
         ch = fh.create_group("UniqueGlobalKey/channel_id")
         ch.attrs["digitisation"] = 8192.0
@@ -169,11 +193,60 @@ def write_read_fast5(
         ch.attrs["sampling_rate"] = config.sampling_rate
         ch.attrs["channel_number"] = b"101"
         base = fh.create_group("Analyses/Basecall_1D_000")
-        base.attrs["version"] = b"2.3.4"
+        base.attrs["version"] = version
         tmpl = base.create_group("BaseCalled_template")
         fastq = f"@{read_id}\n{seq}\n+\n{'#' * len(seq)}\n"
         tmpl.create_dataset("Fastq", data=np.bytes_(fastq))
         tmpl.create_dataset("Events", data=ev)
+        raw = fh.create_group("Raw/Reads/Read_77")
+        raw.attrs["start_time"] = 0
+        raw.attrs["read_id"] = read_id.encode()
+        raw.create_dataset("Signal", data=signal)
+
+
+def _write_move_fast5(path, read_id, seq, signal, config):
+    """Guppy-style fast5: Move table at stride 2 + Segmentation attrs.
+
+    The reader reconstructs base boundaries at 2*i + first for move==1
+    (MoveTable.py:31-43), so bases here get 2-sample... the move array is
+    built from per-base sample budgets rounded to the stride.
+    """
+    import h5py
+
+    n = len(seq)
+    first = 10
+    # give each base an even number of samples >= 4 within the signal
+    budget = (len(signal) - first) // n
+    budget = max(budget - (budget % 2), 4)
+    move_len = (n * budget) // 2 + 2
+    move = np.zeros(move_len, np.uint8)
+    # n-1 boundaries: the reader's final base takes the trailing samples
+    # (MoveTable.py:44-49 allocates one row per fastq base)
+    for i in range(1, n):
+        idx = (i * budget) // 2
+        if idx < move_len:
+            move[idx] = 1
+    needed = first + (move_len - 1) * 2 + 4
+    if needed > len(signal):
+        signal = np.concatenate(
+            [signal, np.zeros(needed - len(signal), signal.dtype)]
+        )
+    with h5py.File(path, "w") as fh:
+        ch = fh.create_group("UniqueGlobalKey/channel_id")
+        ch.attrs["digitisation"] = 8192.0
+        ch.attrs["offset"] = 0.0
+        ch.attrs["range"] = 1400.0
+        ch.attrs["sampling_rate"] = config.sampling_rate
+        ch.attrs["channel_number"] = b"101"
+        base = fh.create_group("Analyses/Basecall_1D_000")
+        base.attrs["version"] = b"6.0.1"
+        tmpl = base.create_group("BaseCalled_template")
+        fastq = f"@{read_id}\n{seq}\n+\n{'#' * len(seq)}\n"
+        tmpl.create_dataset("Fastq", data=np.bytes_(fastq))
+        tmpl.create_dataset("Move", data=move)
+        seg = fh.create_group("Analyses/Segmentation_000/Summary/segmentation")
+        seg.attrs["first_sample_template"] = first
+        seg.attrs["duration_template"] = len(signal) - first
         raw = fh.create_group("Raw/Reads/Read_77")
         raw.attrs["start_time"] = 0
         raw.attrs["read_id"] = read_id.encode()

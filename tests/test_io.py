@@ -229,3 +229,23 @@ def test_fast5_batch_error_census(synth_dataset, tmp_path):
     result = read_fast5_batch([reads[0].path, bogus], errors=errors)
     assert reads[0].read_id in result
     assert errors.counts() == {"Cannot open fast5 or other errors": 1}
+
+
+@pytest.mark.parametrize("style,move_opt", [("v1", False), ("move", True)])
+def test_fast5_styles_round_trip(tmp_path, style, move_opt):
+    """Albacore-v1 (second-based starts) and guppy move-table ingestion."""
+    from deepmod_tpu.testing.synthetic import generate_dataset as gen
+
+    out = str(tmp_path / style)
+    genome, reads = gen(
+        out,
+        SynthConfig(
+            genome_sizes={"chrX": 6000}, num_reads=2,
+            read_length=(400, 600), seed=13, fast5_style=style,
+        ),
+    )
+    opts = Fast5ReadOptions(move=move_opt)
+    read = read_fast5_file(reads[0].path, opts)
+    assert read.basecall == reads[0].seq
+    assert len(read.m_event) == len(reads[0].seq)
+    assert np.isfinite(read.m_event["mean"]).all()
