@@ -17,8 +17,7 @@ instead of the filesystem.
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

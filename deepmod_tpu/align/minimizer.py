@@ -20,7 +20,6 @@ Algorithm (standard minimizer mapping, written from scratch):
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -22,7 +22,7 @@ The +-100-row context pad gives every aligned event a full 21-row window
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -28,11 +27,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from deepmod_tpu.models.bilstm import (
     BiLSTMConfig,
     bilstm_logits,
-    bilstm_loss,
     init_bilstm_params,
 )
 from deepmod_tpu.models.tf_import import save_bilstm_npz
-from .loader import TestSplit, find_feature_files, iterate_training_batches
+from .loader import TestSplit, iterate_training_batches
 
 
 @dataclasses.dataclass
