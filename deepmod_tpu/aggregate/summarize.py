@@ -24,25 +24,126 @@ import numpy as np
 from deepmod_tpu.align.cigar import BaseMapResult
 
 
-@dataclasses.dataclass
-class PositionCounts:
-    """Dense per-position counters for one (chr, strand)."""
+CHUNK_BITS = 22  # 4M-position chunks for lazily allocated chromosomes
+CHUNK = 1 << CHUNK_BITS
+# chromosomes below this allocate dense arrays outright; above (human-sized)
+# they allocate 4M-position chunks on first touch so a whole-genome run
+# holds memory proportional to covered regions, not genome length
+DENSE_LIMIT = 1 << 26
 
-    length: int
-    coverage: np.ndarray   # int32[length] (coverage >2e9 per site is not real)
-    mod_count: np.ndarray  # int32[length]
-    seen: np.ndarray       # bool[length]: position appeared in any base map
-                           # (even via deletion rows, which leave coverage 0
-                           # but still create a dict entry in the reference,
-                           # myDetect.py:1092-1094)
+
+class PositionCounts:
+    """Per-position counters for one (chr, strand).
+
+    Dense for small chromosomes; chunk-lazy for human-scale ones. The
+    update/readout API is the same either way:
+    - ``add(seen_pos, covered_pos, modded_pos)``: vectorized accumulate;
+    - ``iter_seen()``: sorted (pos, coverage, mod_count) for BED emission;
+    - ``merge(other)``: associative combine.
+    """
+
+    def __init__(self, length: int):
+        self.length = length
+        self.dense = length <= DENSE_LIMIT
+        if self.dense:
+            self.coverage = np.zeros(length, np.int32)
+            self.mod_count = np.zeros(length, np.int32)
+            self.seen = np.zeros(length, bool)
+        else:
+            self._chunks: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     @classmethod
     def zeros(cls, length: int) -> "PositionCounts":
-        return cls(
-            length=length,
-            coverage=np.zeros(length, np.int32),
-            mod_count=np.zeros(length, np.int32),
-            seen=np.zeros(length, bool),
+        return cls(length)
+
+    def _chunk(self, cid: int):
+        entry = self._chunks.get(cid)
+        if entry is None:
+            entry = (
+                np.zeros(CHUNK, np.int32),
+                np.zeros(CHUNK, np.int32),
+                np.zeros(CHUNK, bool),
+            )
+            self._chunks[cid] = entry
+        return entry
+
+    def add(
+        self,
+        seen_pos: np.ndarray,
+        covered_pos: np.ndarray,
+        modded_pos: np.ndarray,
+    ) -> None:
+        if self.dense:
+            self.seen[seen_pos] = True
+            self.coverage += np.bincount(
+                covered_pos, minlength=self.length
+            ).astype(np.int32)
+            self.mod_count += np.bincount(
+                modded_pos, minlength=self.length
+            ).astype(np.int32)
+            return
+        for pos, field in ((seen_pos, 2), (covered_pos, 0), (modded_pos, 1)):
+            if len(pos) == 0:
+                continue
+            cids = pos >> CHUNK_BITS
+            for cid in np.unique(cids):
+                local = pos[cids == cid] & (CHUNK - 1)
+                arrays = self._chunk(int(cid))
+                if field == 2:
+                    arrays[2][local] = True
+                else:
+                    np.add.at(arrays[field], local, 1)
+
+    def add_base_map(self, base_map: np.ndarray, target_base: str) -> None:
+        """Accumulate one read's predictions (rules of myDetect.py:1089-1100)."""
+        is_target = base_map["refbase"] == target_base
+        seen_pos = base_map["refbasei"][is_target].astype(np.int64)
+        sel = is_target & (base_map["readbase"] != "-")
+        covered_pos = base_map["refbasei"][sel].astype(np.int64)
+        modded_pos = covered_pos[base_map["mod_pred"][sel] == 1]
+        self.add(seen_pos, covered_pos, modded_pos)
+
+    def merge(self, other: "PositionCounts") -> None:
+        if self.dense and other.dense:
+            n = min(self.length, other.length)
+            if other.length > self.length:
+                self._grow(other.length)
+            self.coverage[: other.length] += other.coverage
+            self.mod_count[: other.length] += other.mod_count
+            self.seen[: other.length] |= other.seen
+            return
+        for pos, cov, mod in other.iter_seen():
+            arr = np.asarray([pos])
+            self.add(arr, np.repeat(arr, cov), np.repeat(arr, mod))
+
+    def _grow(self, length: int) -> None:
+        assert self.dense
+        coverage = np.zeros(length, np.int32)
+        mod_count = np.zeros(length, np.int32)
+        seen = np.zeros(length, bool)
+        coverage[: self.length] = self.coverage
+        mod_count[: self.length] = self.mod_count
+        seen[: self.length] = self.seen
+        self.coverage, self.mod_count, self.seen = coverage, mod_count, seen
+        self.length = length
+
+    def iter_seen(self):
+        """Yield (pos, coverage, mod_count) in position order."""
+        if self.dense:
+            for pos in np.flatnonzero(self.seen):
+                yield int(pos), int(self.coverage[pos]), int(self.mod_count[pos])
+            return
+        for cid in sorted(self._chunks):
+            cov, mod, seen = self._chunks[cid]
+            base = cid << CHUNK_BITS
+            for local in np.flatnonzero(seen):
+                yield base + int(local), int(cov[local]), int(mod[local])
+
+    def nbytes(self) -> int:
+        if self.dense:
+            return self.coverage.nbytes + self.mod_count.nbytes + self.seen.nbytes
+        return sum(
+            c.nbytes + m.nbytes + s.nbytes for c, m, s in self._chunks.values()
         )
 
 
@@ -65,15 +166,7 @@ def accumulate_base_map(
     key = (bmr.rname, bmr.strand)
     if key not in counts:
         counts[key] = PositionCounts.zeros(chrom_length)
-    pc = counts[key]
-    bm = bmr.base_map
-    is_target = bm["refbase"] == target_base
-    pc.seen[bm["refbasei"][is_target].astype(np.int64)] = True
-    sel = is_target & (bm["readbase"] != "-")
-    pos = bm["refbasei"][sel].astype(np.int64)
-    pc.coverage += np.bincount(pos, minlength=pc.length).astype(np.int32)
-    modded = pos[bm["mod_pred"][sel] == 1]
-    pc.mod_count += np.bincount(modded, minlength=pc.length).astype(np.int32)
+    counts[key].add_base_map(bmr.base_map, target_base)
 
 
 def merge_counts(dest: CountsMap, src: CountsMap) -> None:
@@ -82,14 +175,7 @@ def merge_counts(dest: CountsMap, src: CountsMap) -> None:
     for key, pc in src.items():
         if key not in dest:
             dest[key] = PositionCounts.zeros(pc.length)
-        if dest[key].length < pc.length:
-            grown = PositionCounts.zeros(pc.length)
-            grown.coverage[: dest[key].length] = dest[key].coverage
-            grown.mod_count[: dest[key].length] = dest[key].mod_count
-            dest[key] = grown
-        dest[key].coverage[: pc.length] += pc.coverage
-        dest[key].mod_count[: pc.length] += pc.mod_count
-        dest[key].seen[: pc.length] |= pc.seen
+        dest[key].merge(pc)
 
 
 def bed_line(
@@ -135,13 +221,8 @@ def write_bed(
     """
     written = 0
     with open(path, "w") as fh:
-        for pos in np.flatnonzero(pc.seen):
-            fh.write(
-                bed_line(
-                    chrom, strand, int(pos), base,
-                    int(pc.coverage[pos]), int(pc.mod_count[pos]),
-                )
-            )
+        for pos, coverage, mod_count in pc.iter_seen():
+            fh.write(bed_line(chrom, strand, pos, base, coverage, mod_count))
             written += 1
     return written
 

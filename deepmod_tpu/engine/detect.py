@@ -306,15 +306,7 @@ def consume_host_results(
         key = (item.rname, item.strand)
         if key not in counts:
             counts[key] = PositionCounts.zeros(item.chrom_length)
-        pc = counts[key]
-        bm = item.base_map
-        is_target = bm["refbase"] == config.base
-        pc.seen[bm["refbasei"][is_target].astype(np.int64)] = True
-        sel = is_target & (bm["readbase"] != "-")
-        pos = bm["refbasei"][sel].astype(np.int64)
-        pc.coverage += np.bincount(pos, minlength=pc.length).astype(np.int32)
-        modded = pos[bm["mod_pred"][sel] == 1]
-        pc.mod_count += np.bincount(modded, minlength=pc.length).astype(np.int32)
+        counts[key].add_base_map(item.base_map, config.base)
 
         if config.write_per_read:
             pred_key = f"pred_{readk_ind}"

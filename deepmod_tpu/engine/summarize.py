@@ -118,20 +118,9 @@ def _accumulate_detail(
     max_pos = int(m_pred["refbasei"].max()) + 1 if len(m_pred) else 1
     if key not in counts:
         counts[key] = PositionCounts.zeros(max_pos)
-    elif counts[key].length < max_pos:
-        grown = PositionCounts.zeros(max_pos)
-        grown.coverage[: counts[key].length] = counts[key].coverage
-        grown.mod_count[: counts[key].length] = counts[key].mod_count
-        grown.seen[: counts[key].length] = counts[key].seen
-        counts[key] = grown
-    pc = counts[key]
-    is_target = m_pred["refbase"] == target_base
-    pc.seen[m_pred["refbasei"][is_target].astype(np.int64)] = True
-    sel = is_target & (m_pred["readbase"] != "-")
-    pos = m_pred["refbasei"][sel].astype(np.int64)
-    pc.coverage += np.bincount(pos, minlength=pc.length).astype(np.int32)
-    modded = pos[m_pred["mod_pred"][sel] == 1]
-    pc.mod_count += np.bincount(modded, minlength=pc.length).astype(np.int32)
+    elif counts[key].dense and counts[key].length < max_pos:
+        counts[key]._grow(max_pos)
+    counts[key].add_base_map(m_pred, target_base)
 
 
 def summarize_run(

@@ -165,3 +165,31 @@ def test_ecoli_performance(tmp_path):
     assert metrics["num_positive_sites"] == 50
     assert os.path.isfile(str(tmp_path / "perf_roc.png"))
     assert os.path.isfile(str(tmp_path / "perf_pr.png"))
+
+
+def test_chunked_position_counts_match_dense():
+    """Human-scale chunk-lazy counters agree with the dense path."""
+    import deepmod_tpu.aggregate.summarize as agg
+
+    rng = np.random.RandomState(0)
+    dense = agg.PositionCounts(10_000)
+    chunked = agg.PositionCounts(agg.DENSE_LIMIT + 1)
+    assert dense.dense and not chunked.dense
+    for _ in range(5):
+        seen = rng.randint(0, 10_000, 300).astype(np.int64)
+        covered = seen[rng.rand(300) < 0.8]
+        modded = covered[rng.rand(len(covered)) < 0.3]
+        dense.add(seen, covered, modded)
+        chunked.add(seen, covered, modded)
+    # also spread some positions across chunk boundaries
+    far = np.asarray([agg.CHUNK - 1, agg.CHUNK, agg.CHUNK + 5], np.int64)
+    chunked.add(far, far, far[:1])
+    got = {p: (c, m) for p, c, m in chunked.iter_seen() if p < 10_000}
+    want = {p: (c, m) for p, c, m in dense.iter_seen()}
+    assert got == want
+    far_entries = {p: (c, m) for p, c, m in chunked.iter_seen() if p >= 10_000}
+    assert far_entries == {
+        agg.CHUNK - 1: (1, 1), agg.CHUNK: (1, 0), agg.CHUNK + 5: (1, 0),
+    }
+    # memory proportional to touched chunks only
+    assert chunked.nbytes() <= 3 * agg.CHUNK * 9
