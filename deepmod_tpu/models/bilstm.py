@@ -275,6 +275,30 @@ def bilstm_predict(
     )
 
 
+def bilstm_logits_trainable(
+    params: Params, x: jax.Array, config: BiLSTMConfig,
+    use_pallas: bool = False, tile_b: int = 64,
+) -> jax.Array:
+    """Differentiable logits; with use_pallas the recurrence runs through
+    the custom-VJP fused kernels (ops.bilstm_fused_train) so BOTH the
+    forward and the BPTT backward are Pallas."""
+    if use_pallas:
+        from deepmod_tpu.ops.bilstm_fused_train import bilstm_fused_center_train
+
+        feats = bilstm_fused_center_train(
+            params, x, config.num_layers, config.num_hidden,
+            config.timesteps, config.forget_bias, tile_b,
+            jax.default_backend() != "tpu",
+        )
+    else:
+        feats = bilstm_center_features(params, x, config)
+    out = jnp.dot(feats, params["out_w"], preferred_element_type=jnp.float32)
+    out = out + params["out_b"]
+    if config.output_layer == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    return out
+
+
 # Class weights for unbalanced training (myMultiBiRNN.py:13).
 CLASS_WEIGHTS = (0.1, 0.9)
 

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from deepmod_tpu.models.bilstm import (
     BiLSTMConfig,
     bilstm_logits,
+    bilstm_logits_trainable,
     init_bilstm_params,
 )
 from deepmod_tpu.models.tf_import import save_bilstm_npz
@@ -49,6 +50,7 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     mesh_axis: str = "data"
+    use_pallas: Optional[bool] = None  # None: pallas on TPU
 
 
 class TrainState:
@@ -77,15 +79,19 @@ def make_train_step(
     unbalanced: bool,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
+    use_pallas: bool = False,
 ) -> Callable:
     """Jitted (params, opt_state, x, y, mask) -> (params, opt_state, loss).
 
     With a mesh, x/y/mask are sharded over `axis` and params replicated;
-    XLA inserts the gradient all-reduce.
+    XLA inserts the gradient all-reduce. use_pallas routes forward AND
+    backward through the fused kernels (custom VJP).
     """
 
     def masked_loss(params, x, y, mask):
-        logits = bilstm_logits(params, x, model_config)
+        logits = bilstm_logits_trainable(
+            params, x, model_config, use_pallas=use_pallas
+        )
         if unbalanced:
             from deepmod_tpu.models.bilstm import CLASS_WEIGHTS
 
@@ -167,8 +173,12 @@ def train_run(
     if mesh is None and jax.device_count() > 1:
         mesh = Mesh(np.asarray(jax.devices()), (config.mesh_axis,))
     n_shards = mesh.devices.size if mesh is not None else 1
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
     step_fn = make_train_step(
-        model_config, optimizer, config.unbalanced, mesh, config.mesh_axis
+        model_config, optimizer, config.unbalanced, mesh, config.mesh_axis,
+        use_pallas=use_pallas,
     )
 
     split = TestSplit.parse(config.test)
