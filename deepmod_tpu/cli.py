@@ -80,6 +80,7 @@ def cmd_detect(args) -> int:
         mod_cluster=bool(args.mod_cluster),
         threads=args.threads,
         precision=args.precision,
+        trace_dir=args.trace,
     )
     result = detect_run(config)
     print(
@@ -289,6 +290,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--precision", default="fp32", choices=["fp32", "bf16"],
         help="bf16 halves classifier memory traffic at a small accuracy cost",
+    )
+    p.add_argument(
+        "--trace", default=None,
+        help="write a jax.profiler device trace to this directory",
     )
     p.set_defaults(func=cmd_detect)
 

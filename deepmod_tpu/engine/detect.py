@@ -76,6 +76,7 @@ class DetectConfig:
     # files[host_id::num_hosts] (set automatically from
     # jax.process_index()/process_count() when host_shard == 'auto')
     host_shard: Optional[Tuple[int, int]] = None
+    trace_dir: Optional[str] = None   # jax.profiler trace output
 
 
 @dataclasses.dataclass
@@ -351,6 +352,15 @@ def detect_run(config: DetectConfig) -> DetectResult:
     With ``pred_det=False``, skips prediction and rebuilds summaries from
     an existing run's prediction files (the reference's --predDet 0 path,
     myDetect.py:1230-1263)."""
+    if config.trace_dir:
+        from deepmod_tpu.utils.profiling import device_trace
+
+        with device_trace(config.trace_dir):
+            return _detect_run_inner(dataclasses.replace(config, trace_dir=None))
+    return _detect_run_inner(config)
+
+
+def _detect_run_inner(config: DetectConfig) -> DetectResult:
     start_time = time.time()
     if not config.pred_det:
         from .summarize import summarize_run

@@ -174,9 +174,12 @@ def read_fast5_batch(
     paths: List[str],
     options: Fast5ReadOptions | None = None,
     errors: Optional[ErrorCensus] = None,
+    version_census: Optional[Dict[str, int]] = None,
 ) -> Dict[str, Fast5Read]:
     """Ingest a batch; failures are recorded, never fatal
-    (get_Event_Signals, myDetect.py:348-386)."""
+    (get_Event_Signals, myDetect.py:348-386). ``version_census``
+    accumulates basecaller-version counts like the reference's version_Q
+    (myGetFeatureBasedPos.py:580-582)."""
     errors = errors if errors is not None else ErrorCensus()
     out: Dict[str, Fast5Read] = {}
     for path in paths:
@@ -188,6 +191,10 @@ def read_fast5_batch(
         except Exception:
             errors.add("Cannot open fast5 or other errors", path)
             continue
+        if version_census is not None:
+            version_census[read.albacore_version] = (
+                version_census.get(read.albacore_version, 0) + 1
+            )
         if read.read_id in out:
             # duplicate ids overwrite, like f5data[read_id] = ... after the
             # reference's warning print (myDetect.py:367-368)
