@@ -223,3 +223,20 @@ def test_end_to_end_align_then_expand(genome, aligner):
     matches = (res.base_map["refbase"] == res.base_map["readbase"]).sum()
     assert matches / len(res.base_map) > 0.9
     assert res.num_match == len(res.base_map) - res.num_mismatch - res.num_insert - res.num_del
+
+
+def test_align_high_error_reads(genome, aligner):
+    """Mapping holds at realistic nanopore error rates (up to 15%)."""
+    rng = np.random.RandomState(99)
+    for err in (0.05, 0.10, 0.15):
+        ok = 0
+        for i in range(10):
+            start = rng.randint(0, 18000)
+            read = mutate(
+                rng, genome["chrT"][start : start + 1800],
+                sub=err * 0.5, ins=err * 0.25, dele=err * 0.25,
+            )
+            recs = aligner.align({"e": read})
+            if recs and abs((recs[0].pos - 1) - start) <= 150:
+                ok += 1
+        assert ok >= 9, f"err={err}: only {ok}/10 mapped"

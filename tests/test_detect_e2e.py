@@ -25,9 +25,9 @@ from deepmod_tpu.aggregate.summarize import read_bed
 def e2e(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("e2e"))
     config = SynthConfig(
-        genome_sizes={"chrS": 30000},
-        num_reads=8,
-        read_length=(1000, 2000),
+        genome_sizes={"chrS": 20000},
+        num_reads=6,
+        read_length=(700, 1200),
         seed=9,
     )
     genome, reads = generate_dataset(out, config)
