@@ -253,6 +253,60 @@ def cmd_clusterpred(args) -> int:
     return 0
 
 
+def cmd_clustertrain(args) -> int:
+    """Train the cluster-effect MLP from a merged BED + per-site truth
+    fractions (chr strand pos fraction whitespace files)."""
+    import numpy as np
+
+    from deepmod_tpu.tools.cluster_predict import (
+        _read_motif_positions,
+        _read_pred_bed,
+        build_cluster_features,
+    )
+    from deepmod_tpu.train.cluster_trainer import (
+        ClusterTrainConfig,
+        save_cluster_npz,
+        train_cluster_model,
+    )
+
+    truth = {}
+    with open(args.truth) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 4:
+                truth[(parts[1], int(parts[2]))] = float(parts[3])
+    feats = []
+    targets = []
+    for chrom in args.chrs:
+        motif_path = os.path.join(args.motif_folder, f"motif_{chrom}_C.bed")
+        pred_path = f"{args.pred_prefix}.{chrom}.C.bed"
+        if not (os.path.isfile(motif_path) and os.path.isfile(pred_path)):
+            continue
+        cg = _read_motif_positions(motif_path)
+        keys, frac, _lines = _read_pred_bed(pred_path, cg)
+        if not keys:
+            continue
+        x = build_cluster_features(keys, frac)
+        for row, key in zip(x, keys):
+            if key in truth:
+                feats.append(row)
+                targets.append(truth[key])
+    if not feats:
+        print("no (site, truth) pairs found", file=sys.stderr)
+        return 1
+    params, history = train_cluster_model(
+        np.asarray(feats, np.float32),
+        np.asarray(targets, np.float32),
+        ClusterTrainConfig(epochs=args.epochs),
+    )
+    save_cluster_npz(args.out, params)
+    print(
+        f"trained on {len(feats)} sites; loss {history[0]:.4f} -> "
+        f"{history[-1]:.4f}; saved {args.out}"
+    )
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     from deepmod_tpu.tools.evaluate import ecoli_performance
 
@@ -366,6 +420,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default=None)
     p.add_argument("--chrs", nargs="*", default=None)
     p.set_defaults(func=cmd_clusterpred)
+
+    p = sub.add_parser(
+        "clustertrain", help="Train the cluster-effect second-stage model"
+    )
+    p.add_argument("pred_prefix")
+    p.add_argument("motif_folder")
+    p.add_argument("--truth", required=True,
+                   help="whitespace file: chr strand pos fraction")
+    p.add_argument("--out", required=True)
+    p.add_argument("--chrs", nargs="+", required=True)
+    p.add_argument("--epochs", type=int, default=10)
+    p.set_defaults(func=cmd_clustertrain)
 
     p = sub.add_parser("evaluate", help="Motif-ground-truth AUC/AP evaluation")
     p.add_argument("--mod-bed", required=True, nargs="+")

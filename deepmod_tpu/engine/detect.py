@@ -468,21 +468,31 @@ def _detect_run_inner(config: DetectConfig) -> DetectResult:
                 n_windows += w
                 all_index.extend(idx)
     else:
+        # single-process path still overlaps: a prefetch thread prepares
+        # the NEXT batch's host work while the device consumes the current
+        # one (the host stages release the GIL in h5py/numpy/C++ kernels)
+        import concurrent.futures as cf
+
         init_worker(host_opts)
-        for batch_id, batch in enumerate(batches):
-            if not batch:
-                continue
-            with timer.stage("host_ingest_align_features"):
-                results, batch_errors = host_process_files(batch)
-            for kind, paths in batch_errors.items():
-                errors.extend(kind, paths)
-            r, w, idx = consume_host_results(
-                results, config, predictor, counts, batch_id,
-                ct_folder_for(batch_id), timer,
+        todo = [(batch_id, batch) for batch_id, batch in enumerate(batches) if batch]
+        with cf.ThreadPoolExecutor(max_workers=1) as prefetch:
+            future = (
+                prefetch.submit(host_process_files, todo[0][1]) if todo else None
             )
-            n_reads += r
-            n_windows += w
-            all_index.extend(idx)
+            for pos, (batch_id, batch) in enumerate(todo):
+                with timer.stage("host_ingest_align_features"):
+                    results, batch_errors = future.result()
+                if pos + 1 < len(todo):
+                    future = prefetch.submit(host_process_files, todo[pos + 1][1])
+                for kind, paths in batch_errors.items():
+                    errors.extend(kind, paths)
+                r, w, idx = consume_host_results(
+                    results, config, predictor, counts, batch_id,
+                    ct_folder_for(batch_id), timer,
+                )
+                n_reads += r
+                n_windows += w
+                all_index.extend(idx)
 
     if config.write_per_read:
         _write_index_files(all_index, config)
