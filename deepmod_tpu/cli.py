@@ -72,6 +72,8 @@ def cmd_detect(args) -> int:
         signal_group=args.SignalGroup,
         move=args.move,
         con_unk=args.ConUnk,
+        output_layer=args.outputlayer,
+        hidden=args.hidden,
         regions=_parse_regions(args.region),
         recursive=bool(args.recursive),
         files_per_batch=args.files_per_thread,

@@ -70,6 +70,8 @@ class DetectConfig:
     pred_path: Optional[str] = None   # for summarize-only mode
     write_per_read: bool = True       # predetail HDF5 + index files
     mod_cluster: bool = False         # inline CpG-cluster rescue
+    output_layer: str = ""            # '' | 'sigmoid' (myMultiBiRNN.py:50-53)
+    hidden: int = 100                 # validated against the model
     threads: int = 1                  # host-side ingestion workers
     precision: str = "fp32"           # 'fp32' | 'bf16' (pallas path)
     # multi-host sharding: (host_id, num_hosts); each host processes
@@ -415,11 +417,17 @@ def _detect_run_inner(config: DetectConfig) -> DetectResult:
 
     params, model_config = load_model(config.model_path)
     model_config = dataclasses.replace(
-        model_config, timesteps=config.window_size
+        model_config,
+        timesteps=config.window_size,
+        output_layer=config.output_layer or model_config.output_layer,
     )
     if model_config.num_input != config.fnum:
         raise ValueError(
             f"model expects fnum={model_config.num_input}, got {config.fnum}"
+        )
+    if model_config.num_hidden != config.hidden:
+        raise ValueError(
+            f"model expects hidden={model_config.num_hidden}, got {config.hidden}"
         )
     predictor = WindowPredictor(
         params, model_config, use_pallas=config.use_pallas,
