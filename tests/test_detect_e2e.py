@@ -189,3 +189,36 @@ def test_multiprocess_host_ingestion(e2e, tmp_path):
     assert result_mp.num_windows == result.num_windows
     for b1, b2 in zip(sorted(result.bed_files), sorted(result_mp.bed_files)):
         assert open(b1).read() == open(b2).read()
+
+
+@pytest.mark.parametrize("style,move_flag", [("v1", False), ("move", True)])
+def test_detect_other_fast5_flavors(tmp_path, style, move_flag):
+    """Full detect over albacore-v1 and guppy move-table fast5 files."""
+    import dataclasses
+
+    from deepmod_tpu.testing.synthetic import generate_dataset as gen
+
+    out = str(tmp_path / style)
+    genome, reads = gen(
+        out,
+        SynthConfig(
+            genome_sizes={"chrF": 15000}, num_reads=3,
+            read_length=(600, 1000), seed=17, fast5_style=style,
+        ),
+    )
+    model_config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
+    model_path = os.path.join(out, "model.npz")
+    save_bilstm_npz(model_path, params, model_config)
+    res = detect_run(
+        DetectConfig(
+            wrk_base=os.path.join(out, "fast5"),
+            ref=os.path.join(out, "ref.fa"),
+            model_path=model_path,
+            out_folder=os.path.join(out, "out"),
+            align_str="builtin",
+            move=move_flag,
+        )
+    )
+    assert res.num_reads == 3, res.errors
+    assert res.bed_files
