@@ -249,3 +249,53 @@ def test_fast5_styles_round_trip(tmp_path, style, move_opt):
     assert read.basecall == reads[0].seq
     assert len(read.m_event) == len(reads[0].seq)
     assert np.isfinite(read.m_event["mean"]).all()
+
+
+def test_resegment_events_rundif():
+    """'rundif' re-segmentation: every base keeps >=4 samples and events
+    tile the signal contiguously (EventTable.py:21-108 semantics)."""
+    from deepmod_tpu.io.events import resegment_events
+
+    rng = np.random.RandomState(4)
+    n_bases = 40
+    # events with moves, some multi-base moves
+    lengths = rng.randint(8, 20, n_bases)
+    starts = 50 + np.concatenate([[0], np.cumsum(lengths[:-1])])
+    moves = np.ones(n_bases, np.int64)
+    moves[5] = 2   # a double move
+    fq = "".join(rng.choice(list("ACGT"), n_bases + 3))
+    sig = rng.normal(500, 30, int(starts[-1] + lengths[-1] + 50)).astype(np.float64)
+    ev = np.zeros(
+        n_bases,
+        dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
+               ("length", "<u8"), ("model_state", "S5"), ("move", "<i8")],
+    )
+    ev["start"] = starts
+    ev["length"] = lengths
+    ev["move"] = moves
+    m_event, skip = resegment_events(ev, sig, fq)
+    assert skip == (0, 0)
+    # contiguous tiling
+    np.testing.assert_array_equal(
+        m_event["start"][1:], m_event["start"][:-1] + m_event["length"][:-1]
+    )
+    # min signal per base respected
+    assert int(m_event["length"].min()) >= 2  # after halving repair
+    assert m_event["start"][0] == starts[0]
+
+
+def test_fast5_rundif_signal_group(tmp_path):
+    """--SignalGroup rundif re-segments v2 events at ingestion."""
+    out = str(tmp_path / "rd")
+    _, reads = generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrX": 6000}, num_reads=1,
+                    read_length=(400, 600), seed=19, stay_rate=0.0),
+    )
+    opts = Fast5ReadOptions(signal_group="rundif")
+    read = read_fast5_file(reads[0].path, opts)
+    assert len(read.basecall) > 0
+    ev = read.m_event
+    np.testing.assert_array_equal(
+        ev["start"][1:], ev["start"][:-1] + ev["length"][:-1]
+    )

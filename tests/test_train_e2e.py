@@ -156,3 +156,44 @@ def test_training_learns_signal(features, tmp_path):
     assert res and os.path.isfile(out_txt)
     line = open(out_txt).readline()
     assert line.startswith("tp=")
+
+
+def test_getfeatures_position_files(datasets, tmp_path):
+    """motifORPos=2: labels from fulmod/anymod/nomod position files."""
+    base, mod_dir, ctl_dir = datasets
+    from deepmod_tpu.features.labels import scan_motif
+    from deepmod_tpu.io.fasta import read_fasta
+
+    genome = read_fasta(os.path.join(mod_dir, "ref.fa"))
+    fulmod, _ = scan_motif(genome, "CG", 0)
+    # write position files from the motif scan (simulating bisulfite truth)
+    fulmod_path = str(tmp_path / "fulmod.txt")
+    nomod_path = str(tmp_path / "nomod.txt")
+    with open(fulmod_path, "w") as fm, open(nomod_path, "w") as nm:
+        for chrom, keys in fulmod.items():
+            for strand, pos in sorted(keys):
+                if pos % 3 == 0:
+                    fm.write(f"{chrom} {strand} {pos}\n")
+                else:
+                    nm.write(f"{chrom} {strand} {pos}\n")
+    config = GetFeaturesConfig(
+        wrk_base=os.path.join(mod_dir, "fast5"),
+        ref=os.path.join(mod_dir, "ref.fa"),
+        out_folder=str(tmp_path / "feat_pos"),
+        posneg=1,
+        motif_or_pos=2,
+        fulmod_pattern=fulmod_path,
+        nomod_pattern=nomod_path,
+        anymod_pattern=None,
+        motif="CG",
+        align_str="builtin",
+        save_format="npz",
+    )
+    res = getfeatures_run(config)
+    assert res.num_reads > 0, res.errors
+    x, y = load_feature_file(res.feature_files[0], 21)
+    assert len(y) > 0
+    # with a nomod list, negatives are restricted to listed positions:
+    # both classes should be present but fewer rows than motif-mode
+    assert (y[:, 1] == 1).sum() > 0
+    assert (y[:, 0] == 1).sum() > 0
