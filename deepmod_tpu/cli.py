@@ -211,6 +211,19 @@ def cmd_predfeatures(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from deepmod_tpu.serve import serve
+
+    server = serve(args.Ref, args.modfile, args.port, args.host, args.Base,
+                   args.alignStr)
+    print(f"deepmod_tpu serving on {args.host}:{args.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_synth(args) -> int:
     from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
 
@@ -389,6 +402,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--modfile", type=str, required=True)
     p.add_argument("--test", default=None)
     p.set_defaults(func=cmd_predfeatures)
+
+    p = sub.add_parser("serve", help="Long-lived detection HTTP service")
+    p.add_argument("--Ref", required=True)
+    p.add_argument("--modfile", required=True)
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--Base", default="C")
+    p.add_argument("--alignStr", default="builtin")
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("synth", help="Generate a synthetic test dataset")
     p.add_argument("--out", required=True)

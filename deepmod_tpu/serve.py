@@ -1,0 +1,181 @@
+"""Long-lived serving mode.
+
+Loads the model and aligner index ONCE, keeps the jitted predictor warm,
+and answers detection requests over HTTP (stdlib http.server — no extra
+dependencies). This is the deployment shape the reference cannot offer
+(it pays TF graph restore + genome indexing per process).
+
+Endpoints (JSON in/out):
+
+  GET  /healthz            -> {"status": "ok", "model": ..., "backend": ...}
+  POST /detect             -> body {"fast5": ["/path1", ...]}
+       returns per-read predictions and per-position counts:
+       {"reads": [{"read_id", "chrom", "strand", "pos0", "n_aligned",
+                   "pred_mod_num"}...],
+        "positions": [[chrom, strand, pos, coverage, mod_count], ...],
+        "errors": {...}}
+
+Start:  python -m deepmod_tpu serve --Ref ref.fa --modfile m.npz --port 8765
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+
+class DetectService:
+    """Holds the warm model + aligner; thread-safe single-flight detect."""
+
+    def __init__(self, ref: str, model_path: str, base: str = "C",
+                 align_str: str = "builtin", fnum: int = 7,
+                 window_size: int = 21):
+        import jax
+
+        from deepmod_tpu.engine.detect import WindowPredictor
+        from deepmod_tpu.engine.host_worker import HostOptions, init_worker
+        from deepmod_tpu.models.tf_import import load_model
+
+        self.base = base
+        params, model_config = load_model(model_path)
+        import dataclasses
+
+        model_config = dataclasses.replace(model_config, timesteps=window_size)
+        self.predictor = WindowPredictor(params, model_config)
+        self.model_path = model_path
+        self.backend = jax.default_backend()
+        self._host_opts = HostOptions(
+            ref=ref, align_str=align_str, fnum=fnum, window_size=window_size,
+            base=base, con_unk=True, regions=((None, None, None),),
+            basecall_1d="Basecall_1D_000",
+            basecall_2strand="BaseCalled_template",
+            signal_group="simple", move=False,
+        )
+        init_worker(self._host_opts)  # builds reference + aligner index
+        self._lock = threading.Lock()
+
+    def detect(self, fast5_paths):
+        from deepmod_tpu.engine.host_worker import host_process_files
+
+        with self._lock:
+            results, errors = host_process_files(list(fast5_paths))
+            reads_out = []
+            positions = {}
+            if results:
+                import numpy as np
+
+                pad = 100
+                blocks = [r.features for r in results]
+                feats = np.concatenate(blocks, axis=0)
+                centers = []
+                offset = 0
+                for r in results:
+                    centers.append(
+                        offset + pad + np.arange(r.n_aligned, dtype=np.int64)
+                    )
+                    offset += len(r.features)
+                preds = self.predictor.predict_from_features(
+                    feats, np.concatenate(centers)
+                )
+                off = 0
+                for r in results:
+                    p = preds[off : off + r.n_aligned]
+                    off += r.n_aligned
+                    nongap = np.flatnonzero(r.base_map["readbase"] != "-")
+                    r.base_map["mod_pred"][nongap[p == 1]] = 1
+                    bm = r.base_map
+                    sel = (bm["refbase"] == self.base) & (bm["readbase"] != "-")
+                    for pos, mod in zip(
+                        bm["refbasei"][sel].astype(int),
+                        bm["mod_pred"][sel].astype(int),
+                    ):
+                        key = (r.rname, r.strand, int(pos))
+                        cov, m = positions.get(key, (0, 0))
+                        positions[key] = (cov + 1, m + (1 if mod == 1 else 0))
+                    reads_out.append(
+                        {
+                            "read_id": r.read_id,
+                            "chrom": r.rname,
+                            "strand": r.strand,
+                            "pos0": r.pos0,
+                            "n_aligned": int(r.n_aligned),
+                            "pred_mod_num": int((p == 1).sum()),
+                        }
+                    )
+            return {
+                "reads": reads_out,
+                "positions": [
+                    [c, s, p, cov, mod]
+                    for (c, s, p), (cov, mod) in sorted(positions.items())
+                ],
+                "errors": errors,
+            }
+
+
+def make_handler(service: DetectService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "model": service.model_path,
+                    "backend": service.backend,
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                request = json.loads(self.rfile.read(length) or b"{}")
+                paths = request.get("fast5", [])
+                if not isinstance(paths, list) or not paths:
+                    self._send(400, {"error": "body must carry a non-empty 'fast5' list"})
+                    return
+                self._send(200, service.detect(paths))
+            except Exception as exc:  # noqa: BLE001 - report, never crash
+                self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def serve(ref: str, model_path: str, port: int = 8765, host: str = "127.0.0.1",
+          base: str = "C", align_str: str = "builtin") -> ThreadingHTTPServer:
+    """Build the warm service and return a ready (unstarted) HTTP server."""
+    service = DetectService(ref, model_path, base=base, align_str=align_str)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    return server
+
+
+def main(argv: Optional[list] = None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="deepmod_tpu serve")
+    parser.add_argument("--Ref", required=True)
+    parser.add_argument("--modfile", required=True)
+    parser.add_argument("--port", type=int, default=8765)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--Base", default="C")
+    parser.add_argument("--alignStr", default="builtin")
+    args = parser.parse_args(argv)
+    server = serve(args.Ref, args.modfile, args.port, args.host, args.Base,
+                   args.alignStr)
+    print(f"deepmod_tpu serving on {args.host}:{args.port}", flush=True)
+    server.serve_forever()
+    return 0

@@ -1,0 +1,89 @@
+"""HTTP serving mode: warm model, /healthz, /detect, error handling."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import os
+import numpy as np
+import pytest
+
+import jax
+
+from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+from deepmod_tpu.models.tf_import import save_bilstm_npz
+from deepmod_tpu.serve import serve
+from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+
+
+@pytest.fixture(scope="module")
+def server_setup(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("serve"))
+    genome, reads = generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrV": 12000}, num_reads=3,
+                    read_length=(600, 900), seed=41),
+    )
+    config = BiLSTMConfig()
+    model = os.path.join(out, "m.npz")
+    save_bilstm_npz(model, init_bilstm_params(jax.random.PRNGKey(0), config), config)
+    httpd = serve(os.path.join(out, "ref.fa"), model, port=0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", reads
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz(server_setup):
+    base_url, _ = server_setup
+    status, body = _get(base_url + "/healthz")
+    assert status == 200 and body["status"] == "ok"
+
+
+def test_detect_roundtrip(server_setup):
+    base_url, reads = server_setup
+    status, body = _post(
+        base_url + "/detect", {"fast5": [r.path for r in reads]}
+    )
+    assert status == 200
+    assert len(body["reads"]) == len(reads)
+    for entry in body["reads"]:
+        assert entry["chrom"] == "chrV"
+        assert entry["n_aligned"] > 0
+    assert body["positions"]
+    chrom, strand, pos, cov, mod = body["positions"][0]
+    assert chrom == "chrV" and strand in "+-" and cov >= 1 and 0 <= mod <= cov
+    # second request reuses the warm model
+    status2, body2 = _post(base_url + "/detect", {"fast5": [reads[0].path]})
+    assert status2 == 200 and len(body2["reads"]) == 1
+
+
+def test_detect_bad_requests(server_setup):
+    base_url, reads = server_setup
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base_url + "/detect", {"fast5": []})
+    assert err.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base_url + "/nope", {})
+    assert err.value.code == 404
+    # nonexistent file -> recorded in errors, not a crash
+    status, body = _post(base_url + "/detect", {"fast5": ["/no/such.fast5"]})
+    assert status == 200
+    assert body["reads"] == []
+    assert body["errors"]
