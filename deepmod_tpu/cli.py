@@ -469,6 +469,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # persistent XLA compilation cache (set DMT_COMPILE_CACHE=<dir>);
+    # first compiles in this environment can take minutes, cached reruns
+    # are instant
+    cache_dir = os.environ.get("DMT_COMPILE_CACHE")
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     parser = build_parser()
     args = parser.parse_args(argv)
     if not getattr(args, "command", None):

@@ -73,8 +73,9 @@ def _decode(value) -> str:
 
 def _basecall_from_states(states: np.ndarray) -> str:
     """Center base of each 5-mer model_state (myDetect.py:237)."""
-    as_u1 = states.astype("U5").view("U1").reshape(len(states), -1)
-    return "".join(as_u1[:, 2])
+    # vectorized: fixed-width bytes view -> take the center column
+    as_bytes = states.astype("S5").view(np.uint8).reshape(len(states), 5)
+    return as_bytes[:, 2].tobytes().decode("ascii")
 
 
 def read_fast5_file(
