@@ -104,12 +104,19 @@ class WindowPredictor:
         self,
         params,
         config: BiLSTMConfig,
-        buckets: Sequence[int] = (512, 4096, 16384),
+        buckets: Optional[Sequence[int]] = None,
         use_pallas: Optional[bool] = None,
         data_parallel: bool = True,
         precision: str = "fp32",
     ):
         self.config = config
+        if buckets is None:
+            # 64k batches measured fastest on TPU; CPU keeps compiles small
+            buckets = (
+                (512, 4096, 16384, 65536)
+                if jax.default_backend() == "tpu"
+                else (512, 4096, 16384)
+            )
         self.buckets = sorted(buckets)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

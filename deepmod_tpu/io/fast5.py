@@ -13,6 +13,7 @@ Errors use the reference's error-class strings so the operational census
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -183,9 +184,26 @@ def read_fast5_batch(
     (myGetFeatureBasedPos.py:580-582)."""
     errors = errors if errors is not None else ErrorCensus()
     out: Dict[str, Fast5Read] = {}
+    use_native = False
+    if os.environ.get("DMT_NATIVE_FAST5") == "1":
+        from deepmod_tpu.native.fast5_native import native_fast5_available
+
+        use_native = native_fast5_available()
     for path in paths:
         try:
-            read = read_fast5_file(path, options)
+            if use_native:
+                from deepmod_tpu.native.fast5_native import read_fast5_native
+
+                try:
+                    read = read_fast5_native(path, options)
+                except EventError:
+                    raise
+                except Exception:
+                    read = read_fast5_file(path, options)  # fallback
+                if read is None:
+                    read = read_fast5_file(path, options)
+            else:
+                read = read_fast5_file(path, options)
         except (EventError, SignalRangeError) as exc:
             errors.add(str(exc), path)
             continue

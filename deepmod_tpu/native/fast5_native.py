@@ -1,0 +1,232 @@
+"""ctypes wrapper for the native fast5 reader (dmt_fast5.cpp).
+
+Reads the raw HDF5 content (channel attrs, fastq, signal, events/move)
+through a dlopen'd libhdf5 — the one h5py bundles — then hands off to the
+same event-collapse/normalization code as the h5py path, so the two
+ingestion paths produce identical Fast5Read objects (pinned by
+tests/test_native_fast5.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob as globmod
+import os
+from typing import Optional
+
+import numpy as np
+
+from .lib import _LIB_PATH, _load
+
+
+def _find_libhdf5() -> Optional[str]:
+    try:
+        import h5py
+
+        libs_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(h5py.__file__))),
+            "h5py.libs",
+        )
+        hits = sorted(globmod.glob(os.path.join(libs_dir, "libhdf5-*.so*")))
+        if hits:
+            return hits[0]
+    except Exception:
+        pass
+    for cand in (
+        "/lib/x86_64-linux-gnu/libhdf5_serial.so.103",
+        "libhdf5.so",
+    ):
+        if cand.startswith("/") and os.path.isfile(cand):
+            return cand
+    return None
+
+
+_initialized: Optional[bool] = None
+
+
+def _ensure_init():
+    global _initialized
+    if _initialized is not None:
+        return _initialized
+    lib = _load()
+    if lib is None:
+        _initialized = False
+        return False
+    libhdf5 = _find_libhdf5()
+    if libhdf5 is None:
+        _initialized = False
+        return False
+    lib.dmt_f5_init.restype = ctypes.c_int
+    lib.dmt_f5_init.argtypes = [ctypes.c_char_p]
+    lib.dmt_f5_open.restype = ctypes.c_void_p
+    lib.dmt_f5_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                ctypes.c_char_p, ctypes.c_int]
+    for name, restype in (
+        ("dmt_f5_status", ctypes.c_int),
+        ("dmt_f5_sampling_rate", ctypes.c_double),
+        ("dmt_f5_start_time", ctypes.c_longlong),
+        ("dmt_f5_version", ctypes.c_char_p),
+        ("dmt_f5_fastq", ctypes.c_char_p),
+        ("dmt_f5_signal_len", ctypes.c_longlong),
+        ("dmt_f5_n_events", ctypes.c_longlong),
+        ("dmt_f5_move_len", ctypes.c_longlong),
+        ("dmt_f5_first_sample", ctypes.c_longlong),
+    ):
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    lib.dmt_f5_signal.restype = None
+    lib.dmt_f5_signal.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+    lib.dmt_f5_events.restype = None
+    lib.dmt_f5_events.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+    ]
+    lib.dmt_f5_move.restype = None
+    lib.dmt_f5_move.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.dmt_f5_free.restype = None
+    lib.dmt_f5_free.argtypes = [ctypes.c_void_p]
+    rc = lib.dmt_f5_init(libhdf5.encode())
+    _initialized = rc == 0
+    return _initialized
+
+
+def native_fast5_available() -> bool:
+    return bool(_ensure_init())
+
+
+def read_fast5_native(path: str, options=None):
+    """Native-IO twin of io.fast5.read_fast5_file; returns Fast5Read or
+    raises the same error classes. None when the native path is absent."""
+    if not _ensure_init():
+        return None
+    from deepmod_tpu.io.events import (
+        EventError,
+        collapse_events_v1,
+        collapse_events_v2,
+        move_table_events,
+        resegment_events,
+    )
+    from deepmod_tpu.io.fast5 import (
+        Fast5Read,
+        Fast5ReadOptions,
+        _basecall_from_states,
+        _version_class,
+    )
+    from deepmod_tpu.io.signal_norm import event_mean_std, normalize_signal
+
+    options = options or Fast5ReadOptions()
+    lib = _load()
+    handle = lib.dmt_f5_open(
+        path.encode(), options.basecall_1d.encode(),
+        options.basecall_2strand.encode(), 1 if options.move else 0,
+    )
+    try:
+        status = lib.dmt_f5_status(handle)
+        if status != 0:
+            messages = {
+                -1: "Cannot open fast5 or other errors",
+                -2: "Channel information could not be found",
+                -3: "No Fastq data",
+                -4: "No Raw_reads/Signal",
+                -5: "No Raw_reads/Signal",
+                -6: "No move data",
+                -7: "No events data",
+            }
+            raise EventError(messages.get(status, "Cannot open fast5 or other errors"))
+        sampling_rate = lib.dmt_f5_sampling_rate(handle)
+        start_time = int(lib.dmt_f5_start_time(handle))
+        version = lib.dmt_f5_version(handle).decode()
+        fastq = lib.dmt_f5_fastq(handle).decode().split("\n")
+        header = fastq[0]
+        read_id = (header[1:] if header.startswith("@") else header)
+        read_id = read_id.replace(" ", ":::").replace("\t", "|||")
+        fq_seq = fastq[1] if len(fastq) > 1 else ""
+        n_sig = lib.dmt_f5_signal_len(handle)
+        raw_signals = np.empty(n_sig, np.float64)
+        lib.dmt_f5_signal(
+            handle, raw_signals.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+
+        if options.move:
+            n_move = lib.dmt_f5_move_len(handle)
+            move_data = np.empty(n_move, np.int64)
+            lib.dmt_f5_move(
+                handle, move_data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            )
+            first = int(lib.dmt_f5_first_sample(handle))
+            m_event, skip = move_table_events(
+                move_data, raw_signals, fq_seq, first
+            )
+            basecall = fq_seq
+        else:
+            n_ev = lib.dmt_f5_n_events(handle)
+            mean = np.empty(n_ev, np.float64)
+            stdv = np.empty(n_ev, np.float64)
+            start = np.empty(n_ev, np.float64)
+            length = np.empty(n_ev, np.float64)
+            move = np.empty(n_ev, np.int64)
+            state = ctypes.create_string_buffer(int(n_ev) * 5)
+            lib.dmt_f5_events(
+                handle,
+                mean.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                stdv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                start.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                length.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                move.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                state,
+            )
+            states = np.frombuffer(state.raw, dtype="S5")
+            version_class = _version_class(version)
+            if version_class == 1:
+                events = np.zeros(
+                    int(n_ev),
+                    dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"),
+                           ("length", "<f8"), ("model_state", "S5"),
+                           ("move", "<i8")],
+                )
+                events["start"] = start
+                events["length"] = length
+            else:
+                events = np.zeros(
+                    int(n_ev),
+                    dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
+                           ("length", "<u8"), ("model_state", "S5"),
+                           ("move", "<i8")],
+                )
+                events["start"] = start.astype(np.uint64)
+                events["length"] = length.astype(np.uint64)
+            events["mean"] = mean
+            events["stdv"] = stdv
+            events["model_state"] = states
+            events["move"] = move
+            if version_class == 1:
+                m_event, skip = collapse_events_v1(
+                    events, sampling_rate, start_time
+                )
+            elif options.signal_group == "simple":
+                m_event, skip = collapse_events_v2(events)
+            else:
+                m_event, skip = resegment_events(events, raw_signals, fq_seq)
+            basecall = _basecall_from_states(m_event["model_state"])
+    finally:
+        lib.dmt_f5_free(handle)
+
+    span_start = int(m_event["start"][0])
+    span_end = int(m_event["start"][-1] + m_event["length"][-1])
+    raw_signals = normalize_signal(raw_signals, span_start, span_end)
+    m_event, n_valid = event_mean_std(m_event, raw_signals)
+    if n_valid < len(basecall):
+        basecall = basecall[:n_valid]
+
+    return Fast5Read(
+        read_id=read_id,
+        basecall=basecall,
+        m_event=m_event,
+        raw_signals=raw_signals,
+        path=path,
+        left_right_skip=skip,
+        albacore_version=version,
+    )

@@ -1,0 +1,59 @@
+"""Native (dlopen-libhdf5) fast5 reader parity with the h5py path."""
+
+import numpy as np
+import pytest
+
+from deepmod_tpu.native.fast5_native import (
+    native_fast5_available,
+    read_fast5_native,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_fast5_available(), reason="native fast5 reader unavailable"
+)
+
+from deepmod_tpu.io.fast5 import Fast5ReadOptions, read_fast5_file
+from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+
+
+@pytest.mark.parametrize("style,move_opt", [("v2", False), ("v1", False),
+                                            ("move", True)])
+def test_native_reader_identical(tmp_path, style, move_opt):
+    out = str(tmp_path / style)
+    _, reads = generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrN": 8000}, num_reads=2,
+                    read_length=(500, 800), seed=29, fast5_style=style),
+    )
+    opts = Fast5ReadOptions(move=move_opt)
+    for sim in reads:
+        a = read_fast5_file(sim.path, opts)
+        b = read_fast5_native(sim.path, opts)
+        assert a.read_id == b.read_id
+        assert a.basecall == b.basecall
+        assert a.albacore_version == b.albacore_version
+        np.testing.assert_array_equal(a.m_event["start"], b.m_event["start"])
+        np.testing.assert_array_equal(a.m_event["length"], b.m_event["length"])
+        np.testing.assert_array_equal(a.m_event["mean"], b.m_event["mean"])
+        np.testing.assert_array_equal(a.m_event["stdv"], b.m_event["stdv"])
+        np.testing.assert_array_equal(a.raw_signals, b.raw_signals)
+
+
+def test_native_batch_env_flag(tmp_path, monkeypatch):
+    from deepmod_tpu.io.fast5 import read_fast5_batch
+
+    out = str(tmp_path / "env")
+    _, reads = generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrN": 6000}, num_reads=2,
+                    read_length=(400, 600), seed=31),
+    )
+    plain = read_fast5_batch([r.path for r in reads])
+    monkeypatch.setenv("DMT_NATIVE_FAST5", "1")
+    native = read_fast5_batch([r.path for r in reads])
+    assert set(plain) == set(native)
+    for rid in plain:
+        assert plain[rid].basecall == native[rid].basecall
+        np.testing.assert_array_equal(
+            plain[rid].m_event["mean"], native[rid].m_event["mean"]
+        )
