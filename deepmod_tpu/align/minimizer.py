@@ -95,6 +95,8 @@ class _Chain:
     anchors_q: np.ndarray
     anchors_r: np.ndarray
     score: int
+    second_score: int = 0  # best non-adjacent diagonal band elsewhere
+                           # (same-strand multi-mapping indicator)
 
 
 class MinimizerIndex:
@@ -158,6 +160,19 @@ def _best_chain(
         # consider the top bin together with each neighbor bin
         top = uniq[np.argmax(counts)]
         sel = (bins == top) | (bins == top - 1) | (bins == top + 1)
+        # second-best band strength (non-adjacent bins): flags same-strand
+        # repeats so map_read can lower mapq
+        count_by_bin = dict(zip(uniq.tolist(), counts.tolist()))
+        second = 0
+        for b in uniq:
+            if abs(int(b) - int(top)) <= 1:
+                continue
+            group = (
+                count_by_bin.get(int(b) - 1, 0)
+                + count_by_bin.get(int(b), 0)
+                + count_by_bin.get(int(b) + 1, 0)
+            )
+            second = max(second, group)
         q_sel, r_sel = q[sel], r[sel]
         order = np.argsort(q_sel, kind="stable")
         q_sel, r_sel = q_sel[order], r_sel[order]
@@ -180,6 +195,7 @@ def _best_chain(
             anchors_q=np.asarray(keep_q, np.int64),
             anchors_r=np.asarray(keep_r, np.int64),
             score=len(keep_q),
+            second_score=second,
         )
         if best is None or chain.score > best.score:
             best = chain
@@ -212,7 +228,10 @@ class BuiltinAligner:
         candidates.sort(key=lambda c: -c.score)
         chain = candidates[0]
         mapq = 60
-        if len(candidates) > 1 and candidates[1].score >= 0.9 * chain.score:
+        runner_up = chain.second_score
+        if len(candidates) > 1:
+            runner_up = max(runner_up, candidates[1].score)
+        if runner_up >= 0.9 * chain.score:
             mapq = 3
 
         oseq = oriented[chain.strand]

@@ -211,6 +211,36 @@ def cmd_predfeatures(args) -> int:
     return 0
 
 
+def cmd_align(args) -> int:
+    """Standalone aligner: FASTA reads -> SAM on stdout (the in-process
+    replacement for the reference's minimap2/bwa subprocess calls)."""
+    from deepmod_tpu.align.aligner import get_aligner
+    from deepmod_tpu.io.fasta import read_fasta
+
+    aligner = get_aligner(args.Ref, args.alignStr)
+    reads = read_fasta(args.fasta)
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        out.write("@HD\tVN:1.6\tSO:unknown\n")
+        ref = read_fasta(args.Ref)
+        for name, seq in ref.items():
+            out.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
+        n = 0
+        for rec in aligner.align(reads):
+            out.write(
+                "\t".join(
+                    [rec.qname, str(rec.flag), rec.rname, str(rec.pos),
+                     str(rec.mapq), rec.cigar, "*", "0", "0", rec.seq, "*"]
+                ) + "\n"
+            )
+            n += 1
+        print(f"aligned {n}/{len(reads)} reads", file=sys.stderr)
+    finally:
+        if args.out:
+            out.close()
+    return 0
+
+
 def cmd_serve(args) -> int:
     from deepmod_tpu.serve import serve
 
@@ -402,6 +432,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--modfile", type=str, required=True)
     p.add_argument("--test", default=None)
     p.set_defaults(func=cmd_predfeatures)
+
+    p = sub.add_parser("align", help="Align FASTA reads -> SAM (built-in aligner)")
+    p.add_argument("--Ref", required=True)
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--alignStr", default="builtin")
+    p.set_defaults(func=cmd_align)
 
     p = sub.add_parser("serve", help="Long-lived detection HTTP service")
     p.add_argument("--Ref", required=True)

@@ -240,3 +240,19 @@ def test_align_high_error_reads(genome, aligner):
             if recs and abs((recs[0].pos - 1) - start) <= 150:
                 ok += 1
         assert ok >= 9, f"err={err}: only {ok}/10 mapped"
+
+
+def test_ambiguous_repeat_lowers_mapq():
+    """A read matching two identical repeats gets mapq 3 (ambiguity flag)."""
+    rng = np.random.RandomState(123)
+    unit = random_seq(rng, 1200)
+    genome = {"chrRep": random_seq(rng, 3000) + unit + random_seq(rng, 3000)
+              + unit + random_seq(rng, 3000)}
+    rep_aligner = MinimizerAligner(genome)
+    read = unit[100:1100]
+    recs = rep_aligner.align({"rep": read})
+    assert len(recs) == 1
+    assert recs[0].mapq == 3  # second chain >= 0.9 * best
+    # unique read still gets 60
+    uniq = genome["chrRep"][1000:2000]
+    assert rep_aligner.align({"u": uniq})[0].mapq == 60
