@@ -61,7 +61,7 @@ def _layer_kernel(
     out_fw_ref, out_bw_ref,
     c_fw, h_fw, c_bw, h_bw,
     *, timesteps: int, forget_bias: float, reverse_bw_read: bool,
-    seq_dtype=jnp.float32,
+    seq_dtype=jnp.float32, stop_after: int | None = None,
 ):
     c_fw[...] = jnp.zeros_like(c_fw)
     h_fw[...] = jnp.zeros_like(h_fw)
@@ -102,13 +102,17 @@ def _layer_kernel(
         out_bw_ref[pl.ds(t, 1), :, :] = nh_bw[None].astype(seq_dtype)
         return 0
 
-    if timesteps <= 32:
+    # the FINAL layer's center-only readout needs just steps 0..center of
+    # both lanes (the bw lane is reversed-layout, so its center is the same
+    # index) — stop_after trims ~half the last layer's recurrence
+    n_steps = timesteps if stop_after is None else stop_after
+    if n_steps <= 32:
         # static unroll: T is small and known at trace time; lets Mosaic
         # schedule loads/compute across steps without loop overhead
-        for t in range(timesteps):
+        for t in range(n_steps):
             body(t, 0)
     else:
-        jax.lax.fori_loop(0, timesteps, body, 0)
+        jax.lax.fori_loop(0, n_steps, body, 0)
 
 
 def _run_layer(
@@ -121,6 +125,7 @@ def _run_layer(
     tile_b: int,
     interpret: bool,
     seq_dtype=jnp.float32,
+    stop_after: int | None = None,
 ):
     wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw = weights
     batch_p = in_fw.shape[1]  # time-major: (T, B, LANE)
@@ -137,6 +142,7 @@ def _run_layer(
             forget_bias=forget_bias,
             reverse_bw_read=reverse_bw_read,
             seq_dtype=seq_dtype,
+            stop_after=stop_after,
         ),
         grid=grid,
         in_specs=[seq_spec, seq_spec, w_spec, w_spec, b_spec, w_spec, w_spec, b_spec],
@@ -211,11 +217,13 @@ def bilstm_fused_center(
         )
         b_fw = _pad_gate_blocks(jnp.asarray(lp_fw["bias"]), h)[None, :]
         b_bw = _pad_gate_blocks(jnp.asarray(lp_bw["bias"]), h)[None, :]
+        last = layer == num_layers - 1
+        stop_after = (timesteps // 2 + 1) if (last and timesteps % 2 == 1) else None
         in_fw, in_bw = _run_layer(
             in_fw, in_bw,
             (wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw),
             timesteps, forget_bias, reverse_bw_read, tile_b, interpret,
-            seq_dtype,
+            seq_dtype, stop_after,
         )
         reverse_bw_read = False  # bw lane already reversed-layout
     center = timesteps // 2
