@@ -48,6 +48,7 @@ def _fwd_kernel(
     h_fw_out, h_bw_out, c_fw_out, c_bw_out,
     c_fw, h_fw, c_bw, h_bw,
     *, timesteps: int, forget_bias: float, reverse_bw_read: bool,
+    stop_after: int | None = None,
 ):
     c_fw[...] = jnp.zeros_like(c_fw)
     h_fw[...] = jnp.zeros_like(h_fw)
@@ -68,7 +69,8 @@ def _fwd_kernel(
         new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
         return new_h, new_c
 
-    for t in range(timesteps):
+    n_steps = timesteps if stop_after is None else stop_after
+    for t in range(n_steps):
         x_fw = in_fw_ref[pl.ds(t, 1), :, :][0]
         t_bw = (timesteps - 1 - t) if reverse_bw_read else t
         x_bw = in_bw_ref[pl.ds(t_bw, 1), :, :][0]
@@ -85,7 +87,7 @@ def _fwd_kernel(
 
 
 def _run_fwd_layer(in_fw, in_bw, weights, timesteps, forget_bias,
-                   reverse_bw_read, tile_b, interpret):
+                   reverse_bw_read, tile_b, interpret, stop_after=None):
     wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw = weights
     batch_p = in_fw.shape[1]
     grid = (batch_p // tile_b,)
@@ -98,7 +100,7 @@ def _run_fwd_layer(in_fw, in_bw, weights, timesteps, forget_bias,
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, timesteps=timesteps, forget_bias=forget_bias,
-            reverse_bw_read=reverse_bw_read,
+            reverse_bw_read=reverse_bw_read, stop_after=stop_after,
         ),
         grid=grid,
         in_specs=[seq_spec, seq_spec, w_spec, w_spec, b_spec, w_spec, w_spec, b_spec],
@@ -117,7 +119,7 @@ def _bwd_kernel(
     wx_ref, wh_ref, b_ref, wxt_ref, wht_ref,
     dx_ref, dwx_ref, dwh_ref, db_ref,
     dh_carry, dc_carry,
-    *, timesteps: int, forget_bias: float,
+    *, timesteps: int, forget_bias: float, stop_after: int | None = None,
 ):
     """Single-direction BPTT over one batch tile (time-major blocks).
 
@@ -136,7 +138,16 @@ def _bwd_kernel(
     dc_carry[...] = jnp.zeros_like(dc_carry)
     zeros_state = jnp.zeros_like(dh_carry[...])
 
-    for t in range(timesteps - 1, -1, -1):
+    start = (timesteps - 1) if stop_after is None else (stop_after - 1)
+    # the early-stopped final layer never consumed inputs beyond `start`:
+    # zero those dx rows explicitly (the output block is uninitialized)
+    if stop_after is not None:
+        for t in range(stop_after, timesteps):
+            dx_ref[pl.ds(t, 1), :, :] = jnp.zeros(
+                (1,) + dh_carry.shape, dh_carry.dtype
+            )
+
+    for t in range(start, -1, -1):
         x_t = x_ref[pl.ds(t, 1), :, :][0]
         c_t = c_ref[pl.ds(t, 1), :, :][0]
         if t > 0:
@@ -192,7 +203,7 @@ def _bwd_kernel(
 
 
 def _run_bwd_layer(x_seq, h_seq, c_seq, dh_seq, wx, wh, b, timesteps,
-                   forget_bias, tile_b, interpret):
+                   forget_bias, tile_b, interpret, stop_after=None):
     batch_p = x_seq.shape[1]
     grid = (batch_p // tile_b,)
     seq_spec = pl.BlockSpec(
@@ -203,7 +214,8 @@ def _run_bwd_layer(x_seq, h_seq, c_seq, dh_seq, wx, wh, b, timesteps,
     b_spec = pl.BlockSpec((1, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
     dx, dwx, dwh, db = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, timesteps=timesteps, forget_bias=forget_bias
+            _bwd_kernel, timesteps=timesteps, forget_bias=forget_bias,
+            stop_after=stop_after,
         ),
         grid=grid,
         in_specs=[seq_spec, seq_spec, seq_spec, seq_spec,
@@ -293,9 +305,11 @@ def _fwd(params, x, num_layers, num_hidden, timesteps, forget_bias, tile_b,
     for layer in range(num_layers):
         cur_in = in_dim if layer == 0 else h
         weights = _prep_layer_weights(params, layer, cur_in, h)
+        last = layer == num_layers - 1
+        stop = (timesteps // 2 + 1) if (last and timesteps % 2 == 1) else None
         h_fw, h_bw, c_fw, c_bw = _run_fwd_layer(
             in_fw, in_bw, weights, timesteps, forget_bias, reverse_bw_read,
-            tile_b, interpret,
+            tile_b, interpret, stop,
         )
         # layer-0's bw lane consumed the time-reversed input; store the
         # reversed view so backward sees exactly what the cell saw
@@ -337,14 +351,16 @@ def _bwd(num_layers, num_hidden, timesteps, forget_bias, tile_b, interpret,
         wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw = _prep_layer_weights(
             params, layer, cur_in, h
         )
+        last = layer == num_layers - 1
+        stop = (timesteps // 2 + 1) if (last and timesteps % 2 == 1) else None
         in_fw, in_bw_eff, h_fw, h_bw, c_fw, c_bw = residuals[layer]
         dx_fw, dwx_fw, dwh_fw, db_fw = _run_bwd_layer(
             in_fw, h_fw, c_fw, dh_fw, wx_fw, wh_fw, b_fw,
-            timesteps, forget_bias, tile_b, interpret,
+            timesteps, forget_bias, tile_b, interpret, stop,
         )
         dx_bw, dwx_bw, dwh_bw, db_bw = _run_bwd_layer(
             in_bw_eff, h_bw, c_bw, dh_bw, wx_bw, wh_bw, b_bw,
-            timesteps, forget_bias, tile_b, interpret,
+            timesteps, forget_bias, tile_b, interpret, stop,
         )
         dk_fw, dbias_fw = _unpad_kernel_grad(dwx_fw, dwh_fw, db_fw, cur_in, h)
         dk_bw, dbias_bw = _unpad_kernel_grad(dwx_bw, dwh_bw, db_bw, cur_in, h)
