@@ -16,7 +16,6 @@ instead of the filesystem.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Tuple
 
 import numpy as np

@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from .lib import _LIB_PATH, _load
+from .lib import _load
 
 
 def _find_libhdf5() -> Optional[str]:

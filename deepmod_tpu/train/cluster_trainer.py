@@ -17,7 +17,7 @@ Bernoulli likelihood of the site's refined fraction).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
