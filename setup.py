@@ -8,6 +8,9 @@ setup(
         "sequencing signals"
     ),
     packages=find_packages(include=["deepmod_tpu", "deepmod_tpu.*"]),
+    package_data={
+        "deepmod_tpu.native": ["*.cpp", "Makefile", "*.so"],
+    },
     python_requires=">=3.10",
     install_requires=[
         "jax",
