@@ -83,6 +83,7 @@ def cmd_detect(args) -> int:
         threads=args.threads,
         precision=args.precision,
         trace_dir=args.trace,
+        device_aggregation=bool(args.device_aggregation),
     )
     result = detect_run(config)
     print(
@@ -393,6 +394,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--trace", default=None,
         help="write a jax.profiler device trace to this directory",
+    )
+    p.add_argument(
+        "--device_aggregation", type=int, default=0, choices=[0, 1],
+        help="aggregate position counts on-device (psum over the mesh)",
     )
     p.set_defaults(func=cmd_detect)
 

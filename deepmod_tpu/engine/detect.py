@@ -79,6 +79,10 @@ class DetectConfig:
     # jax.process_index()/process_count() when host_shard == 'auto')
     host_shard: Optional[Tuple[int, int]] = None
     trace_dir: Optional[str] = None   # jax.profiler trace output
+    # aggregate per-position counts ON DEVICE (segment-add + psum over the
+    # mesh) instead of host bincount; needs >1 device and dense-sized
+    # chromosomes — the multi-chip path where merges ride the ICI
+    device_aggregation: bool = False
 
 
 @dataclasses.dataclass
@@ -307,6 +311,8 @@ def consume_host_results(
     stage = timer.stage if timer is not None else (
         lambda name: contextlib.nullcontext()
     )
+    use_device_agg = config.device_aggregation and jax.device_count() > 1
+    batch_obs: Dict[Tuple[str, str], list] = {}
     if not results:
         return 0, 0, []
     with stage("device_inference"):
@@ -347,7 +353,17 @@ def consume_host_results(
         key = (item.rname, item.strand)
         if key not in counts:
             counts[key] = PositionCounts.zeros(item.chrom_length)
-        counts[key].add_base_map(item.base_map, config.base)
+        if use_device_agg and counts[key].dense:
+            bm = item.base_map
+            is_target = bm["refbase"] == config.base
+            counts[key].seen[bm["refbasei"][is_target].astype(np.int64)] = True
+            sel = is_target & (bm["readbase"] != "-")
+            pos = bm["refbasei"][sel].astype(np.int64)
+            batch_obs.setdefault(key, []).append(
+                (pos, (bm["mod_pred"][sel] == 1).astype(np.int64))
+            )
+        else:
+            counts[key].add_base_map(item.base_map, config.base)
 
         if config.write_per_read:
             pred_key = f"pred_{readk_ind}"
@@ -361,6 +377,31 @@ def consume_host_results(
                  rel_f5, rel_pred]
             )
     outputs_ctx.__exit__(None, None, None)
+    if batch_obs:
+        # ONE device reduction per (chr, strand) for the whole batch:
+        # scatter-add per shard + psum over the mesh (parallel.aggregation)
+        from jax.sharding import Mesh
+
+        from deepmod_tpu.parallel.aggregation import sharded_position_counts
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        n_dev = mesh.devices.size
+        with stage("device_aggregation"):
+            for key, obs in batch_obs.items():
+                pos = np.concatenate([o[0] for o in obs])
+                mod = np.concatenate([o[1] for o in obs])
+                pad = (-len(pos)) % n_dev
+                if pad:
+                    pos = np.concatenate([pos, np.zeros(pad, np.int64)])
+                    mod = np.concatenate([mod, np.zeros(pad, np.int64)])
+                covered = np.ones(len(pos), np.int64)
+                if pad:
+                    covered[-pad:] = 0
+                cov_vec, mod_vec = sharded_position_counts(
+                    mesh, pos, covered, mod, counts[key].length
+                )
+                counts[key].coverage += np.asarray(cov_vec)
+                counts[key].mod_count += np.asarray(mod_vec)
     return len(results), int(offset), index_entries
 
 

@@ -222,3 +222,46 @@ def test_detect_other_fast5_flavors(tmp_path, style, move_flag):
     )
     assert res.num_reads == 3, res.errors
     assert res.bed_files
+
+
+def test_batch_failure_recorded_not_fatal(e2e, tmp_path, monkeypatch):
+    """A crashing batch lands in the error census; the run completes."""
+    import dataclasses
+
+    from deepmod_tpu.engine import detect as det_mod
+    from deepmod_tpu.engine import host_worker
+
+    out, genome, reads, det, result = e2e
+    real = host_worker.host_process_files
+    calls = {"n": 0}
+
+    def flaky(paths):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected batch crash")
+        return real(paths)
+
+    monkeypatch.setattr(host_worker, "host_process_files", flaky)
+    monkeypatch.setattr(det_mod, "host_process_files", flaky, raising=False)
+    cfg = dataclasses.replace(
+        det, out_folder=str(tmp_path / "flaky"), files_per_batch=3,
+    )
+    res = detect_run(cfg)
+    crashed = [k for k in res.errors if k.startswith("Batch worker failed")]
+    assert crashed, res.errors
+    # remaining batches still processed
+    assert res.num_reads > 0
+
+
+def test_device_aggregation_matches_host(e2e, tmp_path):
+    """On-device psum aggregation (8-device mesh) reproduces host BEDs."""
+    import dataclasses
+
+    out, genome, reads, det, result = e2e
+    cfg = dataclasses.replace(
+        det, out_folder=str(tmp_path / "devagg"), device_aggregation=True,
+    )
+    res = detect_run(cfg)
+    assert res.num_reads == result.num_reads
+    for b1, b2 in zip(sorted(result.bed_files), sorted(res.bed_files)):
+        assert open(b1).read() == open(b2).read()
