@@ -172,6 +172,127 @@ def read_fast5_file(
     )
 
 
+def is_multi_read_fast5(path: str) -> bool:
+    """Modern ONT multi-read fast5: top-level read_<id> groups."""
+    import h5py
+
+    try:
+        with h5py.File(path, "r") as f5:
+            for key in f5.keys():
+                return key.startswith("read_")
+    except Exception:
+        return False
+    return False
+
+
+def read_multi_fast5_file(
+    path: str,
+    options: Fast5ReadOptions | None = None,
+    errors: Optional[ErrorCensus] = None,
+) -> Dict[str, Fast5Read]:
+    """Ingest every read of a multi-read fast5 (beyond the reference,
+    which supports only single-read files — README.md:24 excludes Guppy
+    outputs; the per-read layout here is the ONT standard: channel_id,
+    Raw and Analyses nested under each read_<uuid> group)."""
+    import h5py
+
+    options = options or Fast5ReadOptions()
+    errors = errors if errors is not None else ErrorCensus()
+    out: Dict[str, Fast5Read] = {}
+    with h5py.File(path, "r") as f5:
+        for key in f5.keys():
+            if not key.startswith("read_"):
+                continue
+            group = f5[key]
+            try:
+                read = _ingest_read_group(group, options, path)
+            except (EventError, SignalRangeError) as exc:
+                errors.add(str(exc), f"{path}:{key}")
+                continue
+            except Exception:
+                errors.add("Cannot open fast5 or other errors", f"{path}:{key}")
+                continue
+            out[read.read_id] = read
+    return out
+
+
+def _ingest_read_group(group, options: Fast5ReadOptions, path: str) -> Fast5Read:
+    """Shared per-read extraction for the multi-read layout."""
+    try:
+        sampling_rate = float(group["channel_id"].attrs["sampling_rate"])
+    except Exception as exc:
+        raise EventError("Channel information could not be found") from exc
+    base_path = f"Analyses/{options.basecall_1d}"
+    try:
+        version = _decode(group[base_path].attrs.get("version", "0.0"))
+    except Exception:
+        version = "0.0"
+    version_class = _version_class(version)
+    try:
+        fq_data = _decode(
+            group[f"{base_path}/{options.basecall_2strand}/Fastq"][()]
+        ).split("\n")
+    except Exception as exc:
+        raise EventError("No Fastq data") from exc
+    header = fq_data[0]
+    read_id = (header[1:] if header.startswith("@") else header)
+    read_id = read_id.replace(" ", ":::").replace("\t", "|||")
+    fq_seq = fq_data[1]
+    try:
+        raw_attributes = dict(group["Raw"].attrs)
+        raw_signals = np.asarray(group["Raw/Signal"][()])
+    except Exception as exc:
+        raise EventError("No Raw_reads/Signal") from exc
+
+    if options.move:
+        try:
+            move_data = np.asarray(
+                group[f"{base_path}/{options.basecall_2strand}/Move"][()]
+            )
+        except Exception as exc:
+            raise EventError("No move data") from exc
+        seg = "Segmentation_" + options.basecall_1d.split("_")[-1]
+        seg_attrs = group[f"Analyses/{seg}/Summary/segmentation"].attrs
+        m_event, skip = move_table_events(
+            move_data, raw_signals, fq_seq,
+            int(seg_attrs["first_sample_template"]),
+        )
+        basecall = fq_seq
+    else:
+        try:
+            events_data = np.asarray(
+                group[f"{base_path}/{options.basecall_2strand}/Events"][()]
+            )
+        except Exception as exc:
+            raise EventError("No events data") from exc
+        if version_class == 1:
+            start_time = int(raw_attributes.get("start_time", 0))
+            m_event, skip = collapse_events_v1(
+                events_data, sampling_rate, start_time
+            )
+        elif options.signal_group == "simple":
+            m_event, skip = collapse_events_v2(events_data)
+        else:
+            m_event, skip = resegment_events(events_data, raw_signals, fq_seq)
+        basecall = _basecall_from_states(m_event["model_state"])
+
+    span_start = int(m_event["start"][0])
+    span_end = int(m_event["start"][-1] + m_event["length"][-1])
+    raw_signals = normalize_signal(raw_signals, span_start, span_end)
+    m_event, n_valid = event_mean_std(m_event, raw_signals)
+    if n_valid < len(basecall):
+        basecall = basecall[:n_valid]
+    return Fast5Read(
+        read_id=read_id,
+        basecall=basecall,
+        m_event=m_event,
+        raw_signals=raw_signals,
+        path=path,
+        left_right_skip=skip,
+        albacore_version=version,
+    )
+
+
 def read_fast5_batch(
     paths: List[str],
     options: Fast5ReadOptions | None = None,
@@ -190,6 +311,18 @@ def read_fast5_batch(
 
         use_native = native_fast5_available()
     for path in paths:
+        if is_multi_read_fast5(path):
+            for read_id, read in read_multi_fast5_file(
+                path, options, errors
+            ).items():
+                if read_id in out:
+                    errors.add("Duplicate id", path)
+                out[read_id] = read
+                if version_census is not None:
+                    version_census[read.albacore_version] = (
+                        version_census.get(read.albacore_version, 0) + 1
+                    )
+            continue
         try:
             if use_native:
                 from deepmod_tpu.native.fast5_native import read_fast5_native

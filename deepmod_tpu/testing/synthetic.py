@@ -49,6 +49,7 @@ class SynthConfig:
     # fast5 flavor: 'v2' (albacore 2.x events), 'v1' (albacore 1.x,
     # second-based starts), 'move' (guppy move table)
     fast5_style: str = "v2"
+    reads_per_file: int = 1   # >1 writes multi-read fast5 containers
 
 
 def make_genome(rng: np.random.RandomState, sizes: Dict[str, int]) -> Dict[str, str]:
@@ -253,6 +254,37 @@ def _write_move_fast5(path, read_id, seq, signal, config):
         raw.create_dataset("Signal", data=signal)
 
 
+def write_multi_fast5(
+    path: str,
+    reads: List[Tuple[str, str]],
+    rng: np.random.RandomState,
+    config: SynthConfig,
+) -> None:
+    """Write a multi-read fast5 (modern ONT layout: per-read read_<id>
+    groups each holding channel_id / Raw / Analyses). The reference does
+    not support this format; see io.fast5.read_multi_fast5_file."""
+    import tempfile
+
+    import h5py
+
+    with h5py.File(path, "w") as out:
+        out.attrs["file_type"] = b"multi-read"
+        for read_id, seq in reads:
+            with tempfile.NamedTemporaryFile(suffix=".fast5") as tmp:
+                write_read_fast5(tmp.name, read_id, seq, rng, config)
+                with h5py.File(tmp.name, "r") as single:
+                    grp = out.create_group(f"read_{read_id}")
+                    ch = grp.create_group("channel_id")
+                    for k, v in single["UniqueGlobalKey/channel_id"].attrs.items():
+                        ch.attrs[k] = v
+                    raw_src = single["Raw/Reads/Read_77"]
+                    raw = grp.create_group("Raw")
+                    for k, v in raw_src.attrs.items():
+                        raw.attrs[k] = v
+                    raw.create_dataset("Signal", data=raw_src["Signal"][()])
+                    single.copy("Analyses", grp)
+
+
 @dataclasses.dataclass
 class SimulatedRead:
     read_id: str
@@ -275,6 +307,32 @@ def generate_dataset(
     os.makedirs(os.path.join(out_dir, "fast5"), exist_ok=True)
     write_fasta(os.path.join(out_dir, "ref.fa"), genome)
     reads: List[SimulatedRead] = []
+    if config.reads_per_file > 1:
+        pending: List[Tuple[SimulatedRead, str]] = []
+        batch_no = 0
+        for i in range(config.num_reads):
+            chrom, strand, start, segment, seq = simulate_read(
+                rng, genome, config
+            )
+            read_id = f"synthread_{i:04d}"
+            pending.append(
+                (SimulatedRead(read_id, chrom, strand, start, segment, seq, ""),
+                 seq)
+            )
+            if (len(pending) == config.reads_per_file
+                    or i == config.num_reads - 1):
+                path = os.path.join(
+                    out_dir, "fast5", f"batch_{batch_no:03d}.fast5"
+                )
+                write_multi_fast5(
+                    path, [(r.read_id, s_) for r, s_ in pending], rng, config
+                )
+                for r, _ in pending:
+                    r.path = path
+                    reads.append(r)
+                pending = []
+                batch_no += 1
+        return genome, reads
     for i in range(config.num_reads):
         chrom, strand, start, segment, seq = simulate_read(rng, genome, config)
         read_id = f"synthread_{i:04d}"
