@@ -388,7 +388,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Base", type=str, default="C", choices=["A", "C", "G", "T"])
     p.add_argument("--mod_cluster", default=0, type=int, choices=[0, 1])
     p.add_argument(
-        "--precision", default="fp32", choices=["fp32", "bf16"],
+        "--precision", default="bf16", choices=["fp32", "bf16"],
         help="bf16 halves classifier memory traffic at a small accuracy cost",
     )
     p.add_argument(

@@ -73,7 +73,9 @@ class DetectConfig:
     output_layer: str = ""            # '' | 'sigmoid' (myMultiBiRNN.py:50-53)
     hidden: int = 100                 # validated against the model
     threads: int = 1                  # host-side ingestion workers
-    precision: str = "fp32"           # 'fp32' | 'bf16' (pallas path)
+    precision: str = "bf16"           # 'fp32' | 'bf16' (pallas path); bf16
+                                      # is default: zero argmax flips on
+                                      # 65536 real windows (docs/Validation.md)
     # multi-host sharding: (host_id, num_hosts); each host processes
     # files[host_id::num_hosts] (set automatically from
     # jax.process_index()/process_count() when host_shard == 'auto')

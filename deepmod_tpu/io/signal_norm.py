@@ -30,6 +30,12 @@ def normalize_signal(
     whole array is transformed but statistics come from the span only.
     """
     raw = np.asarray(raw_signals, np.float64)
+    if span_end > span_start:
+        from deepmod_tpu.native.lib import normalize_signal_native
+
+        native = normalize_signal_native(raw, span_start, span_end)
+        if native is not None:
+            return native
     span = raw[span_start:span_end]
     mshift = np.median(span)
     mscale = np.median(np.abs(span - mshift))

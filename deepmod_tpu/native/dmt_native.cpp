@@ -227,4 +227,35 @@ int64_t dmt_minimizers(const char* seq, int64_t n, int k, int w,
   return count;
 }
 
+// CpG indel canonicalization (myDetect.py:680-700): the full sequential
+// scan of the reference — each swap is visible to later positions.
+// Codes are ASCII bytes; '-' marks a read gap.
+void dmt_cpg_swap(uint8_t* ref, uint8_t* rd, int64_t n) {
+  const uint8_t C = 'C', G = 'G', DASH = '-';
+  for (int64_t i = 0; i < n; ++i) {
+    if (ref[i] == C && rd[i] == C) {
+      if (i + 1 < n && rd[i + 1] == DASH && ref[i + 1] == G) {
+        int64_t add = 2;
+        while (i + add < n && rd[i + add] == DASH && ref[i + add] == G) ++add;
+        if (i + add < n && rd[i + add] == G && ref[i + add] == G) {
+          uint8_t t = rd[i + 1];
+          rd[i + 1] = rd[i + add];
+          rd[i + add] = t;
+        }
+      }
+    }
+    if (ref[i] == G && rd[i] == G) {
+      if (i - 1 > -1 && rd[i - 1] == DASH && ref[i - 1] == C) {
+        int64_t add = 2;
+        while (i - add > -1 && rd[i - add] == DASH && ref[i - add] == C) ++add;
+        if (i - add > -1 && rd[i - add] == C && ref[i - add] == C) {
+          uint8_t t = rd[i - 1];
+          rd[i - 1] = rd[i - add];
+          rd[i - add] = t;
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

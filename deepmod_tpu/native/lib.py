@@ -72,6 +72,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
     ]
+    lib.dmt_cpg_swap.restype = None
+    lib.dmt_cpg_swap.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -157,3 +162,20 @@ def minimizers_native(
         hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return pos[:count].copy(), hashes[:count].copy()
+
+
+def cpg_swap_native(ref_codes: np.ndarray, read_codes: np.ndarray) -> bool:
+    """In-place CpG indel canonicalization (myDetect.py:680-700) in C.
+
+    ref_codes/read_codes are contiguous uint8 arrays; returns False when
+    the native library is unavailable (caller falls back to Python).
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    lib.dmt_cpg_swap(
+        ref_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        read_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(ref_codes),
+    )
+    return True
