@@ -135,8 +135,12 @@ class MinimizerIndex:
         if total == 0:
             return (np.empty(0, np.int64),) * 3
         qidx = np.repeat(np.arange(len(query_hashes)), counts)
-        offsets = np.concatenate(
-            [np.arange(c) + l for l, c in zip(left, counts) if c > 0]
+        # ragged ranges [l, l+c) for every query, fully vectorized
+        cum_ends = np.cumsum(counts)
+        offsets = (
+            np.arange(total)
+            - np.repeat(cum_ends - counts, counts)
+            + np.repeat(left, counts)
         )
         return qidx, self._rids[offsets].astype(np.int64), self._positions[offsets]
 
