@@ -254,35 +254,45 @@ def _write_move_fast5(path, read_id, seq, signal, config):
         raw.create_dataset("Signal", data=signal)
 
 
+def repack_to_multi(single_paths: List[Tuple[str, str]], out_path: str) -> None:
+    """Repack existing single-read fast5 files into one multi-read
+    container (modern ONT layout: per-read read_<id> groups each holding
+    channel_id / Raw / Analyses). ``single_paths`` is (read_id, path)."""
+    import h5py
+
+    with h5py.File(out_path, "w") as out:
+        out.attrs["file_type"] = b"multi-read"
+        for read_id, path in single_paths:
+            with h5py.File(path, "r") as single:
+                grp = out.create_group(f"read_{read_id}")
+                ch = grp.create_group("channel_id")
+                for k, v in single["UniqueGlobalKey/channel_id"].attrs.items():
+                    ch.attrs[k] = v
+                raw_src = single["Raw/Reads/Read_77"]
+                raw = grp.create_group("Raw")
+                for k, v in raw_src.attrs.items():
+                    raw.attrs[k] = v
+                raw.create_dataset("Signal", data=raw_src["Signal"][()])
+                single.copy("Analyses", grp)
+
+
 def write_multi_fast5(
     path: str,
     reads: List[Tuple[str, str]],
     rng: np.random.RandomState,
     config: SynthConfig,
 ) -> None:
-    """Write a multi-read fast5 (modern ONT layout: per-read read_<id>
-    groups each holding channel_id / Raw / Analyses). The reference does
-    not support this format; see io.fast5.read_multi_fast5_file."""
+    """Write a multi-read fast5 from (read_id, seq) pairs. The reference
+    does not support this format; see io.fast5.read_multi_fast5_file."""
     import tempfile
 
-    import h5py
-
-    with h5py.File(path, "w") as out:
-        out.attrs["file_type"] = b"multi-read"
-        for read_id, seq in reads:
-            with tempfile.NamedTemporaryFile(suffix=".fast5") as tmp:
-                write_read_fast5(tmp.name, read_id, seq, rng, config)
-                with h5py.File(tmp.name, "r") as single:
-                    grp = out.create_group(f"read_{read_id}")
-                    ch = grp.create_group("channel_id")
-                    for k, v in single["UniqueGlobalKey/channel_id"].attrs.items():
-                        ch.attrs[k] = v
-                    raw_src = single["Raw/Reads/Read_77"]
-                    raw = grp.create_group("Raw")
-                    for k, v in raw_src.attrs.items():
-                        raw.attrs[k] = v
-                    raw.create_dataset("Signal", data=raw_src["Signal"][()])
-                    single.copy("Analyses", grp)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        pairs = []
+        for i, (read_id, seq) in enumerate(reads):
+            p = os.path.join(tmpdir, f"{i}.fast5")
+            write_read_fast5(p, read_id, seq, rng, config)
+            pairs.append((read_id, p))
+        repack_to_multi(pairs, path)
 
 
 @dataclasses.dataclass

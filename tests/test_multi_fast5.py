@@ -115,3 +115,53 @@ def test_corrupt_read_group_censused(tmp_path):
     got = read_multi_fast5_file(multi, Fast5ReadOptions(), errors)
     assert sorted(got) == sorted(ids[1:])
     assert errors.total() == 1
+
+
+def test_detect_over_multi_read_containers(tmp_path):
+    """Full detect over multi-read containers equals the same reads as
+    single-read files (BED parity)."""
+    import jax
+
+    from deepmod_tpu.engine.detect import DetectConfig, detect_run
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+    from deepmod_tpu.models.tf_import import save_bilstm_npz
+
+    from deepmod_tpu.testing.synthetic import repack_to_multi
+
+    single = str(tmp_path / "single")
+    genome, reads = generate_dataset(single, SynthConfig(
+        genome_sizes={"chrM": 15000}, num_reads=4,
+        read_length=(600, 1000), seed=23,
+    ))
+    # repack THE SAME reads into multi-read containers
+    multi = str(tmp_path / "multi")
+    os.makedirs(os.path.join(multi, "fast5"))
+    import shutil
+    shutil.copy(os.path.join(single, "ref.fa"),
+                os.path.join(multi, "ref.fa"))
+    pairs = [(r.read_id, r.path) for r in reads]
+    repack_to_multi(pairs[:2], os.path.join(multi, "fast5", "a.fast5"))
+    repack_to_multi(pairs[2:], os.path.join(multi, "fast5", "b.fast5"))
+
+    model_config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
+    model_path = str(tmp_path / "model.npz")
+    save_bilstm_npz(model_path, params, model_config)
+
+    beds = {}
+    for name, src in (("single", single), ("multi", multi)):
+        res = detect_run(DetectConfig(
+            wrk_base=os.path.join(src, "fast5"),
+            ref=os.path.join(src, "ref.fa"),
+            model_path=model_path,
+            out_folder=os.path.join(src, "out"),
+            align_str="builtin",
+        ))
+        lines = []
+        for bed in sorted(res.bed_files):
+            with open(bed) as fh:
+                lines.extend(sorted(fh))
+        beds[name] = (res.num_reads, lines)
+
+    assert beds["single"][0] == beds["multi"][0]
+    assert beds["single"][1] == beds["multi"][1]
