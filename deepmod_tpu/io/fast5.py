@@ -75,7 +75,10 @@ def _decode(value) -> str:
 def _basecall_from_states(states: np.ndarray) -> str:
     """Center base of each 5-mer model_state (myDetect.py:237)."""
     # vectorized: fixed-width bytes view -> take the center column
-    as_bytes = states.astype("S5").view(np.uint8).reshape(len(states), 5)
+    if states.dtype == np.dtype("S5") and states.flags.c_contiguous:
+        as_bytes = states.view(np.uint8).reshape(len(states), 5)
+    else:
+        as_bytes = states.astype("S5").view(np.uint8).reshape(len(states), 5)
     return as_bytes[:, 2].tobytes().decode("ascii")
 
 
