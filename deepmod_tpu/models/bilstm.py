@@ -174,9 +174,16 @@ def _bidi_fused_features(
     MXU dispatches vs running the directions one after the other. The bw
     lane lives in reversed-time layout through all layers; with odd T the
     center index is reversal-invariant, so the readout needs no flip.
+
+    With odd T the center readout depends only on steps 0..T//2 of each
+    lane at every depth (the stacks are direction-independent), so the
+    whole computation runs on the truncated T//2+1-step sequences —
+    identical math on the steps that reach the readout.
     """
     h = config.num_hidden
     seq = jnp.stack([x, x[:, ::-1]], axis=0)  # (2, B, T, F)
+    if config.timesteps % 2 == 1:
+        seq = seq[:, :, : config.center + 1]
     for layer in range(config.num_layers):
         k_fw = params["fw"][layer]
         k_bw = params["bw"][layer]
@@ -206,9 +213,10 @@ def _bidi_fused_features(
             jnp.zeros((2, batch, h), x_proj.dtype),
         )
         _, h_seq = jax.lax.scan(step, init, jnp.moveaxis(x_proj, 2, 0))
-        seq = jnp.moveaxis(h_seq, 0, 2)  # (2, B, T, H)
+        seq = jnp.moveaxis(h_seq, 0, 2)  # (2, B, T', H)
     center = config.center
     if config.timesteps % 2 == 1:
+        # truncated sequences end exactly at the center step
         fw_c = seq[0, :, center]
         bw_c = seq[1, :, center]
     else:

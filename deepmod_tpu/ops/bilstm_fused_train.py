@@ -302,11 +302,12 @@ def _fwd(params, x, num_layers, num_hidden, timesteps, forget_bias, tile_b,
     reverse_bw_read = True
     h = num_hidden
     residuals = []
+    # odd T: the fw/bw stacks are independent, so steps beyond the center
+    # are outside the readout cone at EVERY depth (see ops.bilstm_fused)
+    stop = (timesteps // 2 + 1) if timesteps % 2 == 1 else None
     for layer in range(num_layers):
         cur_in = in_dim if layer == 0 else h
         weights = _prep_layer_weights(params, layer, cur_in, h)
-        last = layer == num_layers - 1
-        stop = (timesteps // 2 + 1) if (last and timesteps % 2 == 1) else None
         h_fw, h_bw, c_fw, c_bw = _run_fwd_layer(
             in_fw, in_bw, weights, timesteps, forget_bias, reverse_bw_read,
             tile_b, interpret, stop,
@@ -346,13 +347,12 @@ def _bwd(num_layers, num_hidden, timesteps, forget_bias, tile_b, interpret,
         "out_w": jnp.zeros_like(jnp.asarray(params["out_w"])),
         "out_b": jnp.zeros_like(jnp.asarray(params["out_b"])),
     }
+    stop = (timesteps // 2 + 1) if timesteps % 2 == 1 else None
     for layer in range(num_layers - 1, -1, -1):
         cur_in = in_dim if layer == 0 else h
         wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw = _prep_layer_weights(
             params, layer, cur_in, h
         )
-        last = layer == num_layers - 1
-        stop = (timesteps // 2 + 1) if (last and timesteps % 2 == 1) else None
         in_fw, in_bw_eff, h_fw, h_bw, c_fw, c_bw = residuals[layer]
         dx_fw, dwx_fw, dwh_fw, db_fw = _run_bwd_layer(
             in_fw, h_fw, c_fw, dh_fw, wx_fw, wh_fw, b_fw,

@@ -178,3 +178,29 @@ def test_fused_pallas_v2_matches_scan(small_setup):
     )
     want = np.asarray(bilstm_center_features(params, jnp.asarray(x), config))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "timesteps,num_layers",
+    [(21, 1), (11, 3), (20, 3), (5, 2)],
+)
+def test_fused_pallas_v2_odd_even_depths(timesteps, num_layers):
+    """Early-stop cone logic: odd T trims every layer, even T must not."""
+    from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center
+    from deepmod_tpu.models.bilstm import bilstm_center_features
+
+    config = BiLSTMConfig(
+        num_input=7, num_hidden=100, timesteps=timesteps, num_layers=num_layers
+    )
+    params = init_bilstm_params(jax.random.PRNGKey(2), config)
+    x = jax.random.normal(
+        jax.random.PRNGKey(3), (9, timesteps, 7), jnp.float32
+    )
+    got = np.asarray(
+        bilstm_fused_center(
+            params, x, num_layers=num_layers, timesteps=timesteps,
+            tile_b=8, interpret=True,
+        )
+    )
+    want = np.asarray(bilstm_center_features(params, x, config))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
