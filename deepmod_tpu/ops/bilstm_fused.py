@@ -188,7 +188,7 @@ def bilstm_fused_center(
     num_hidden: int = 100,
     timesteps: int = 21,
     forget_bias: float = 1.0,
-    tile_b: int = 128,
+    tile_b: int = 256,  # measured best on v5e (512 exceeds scoped VMEM)
     interpret: bool | None = None,
     precision: str = "fp32",
 ) -> jnp.ndarray:
