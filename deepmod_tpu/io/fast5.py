@@ -318,7 +318,18 @@ def read_fast5_batch(
 
         use_native = native_fast5_available()
     for path in paths:
-        if is_multi_read_fast5(path):
+        read = None
+        if use_native:
+            # native-first: a successful native read skips the per-file
+            # h5py multi-read probe entirely (one h5py open per file saved;
+            # multi-read containers fail native open and fall through)
+            from deepmod_tpu.native.fast5_native import read_fast5_native
+
+            try:
+                read = read_fast5_native(path, options)
+            except Exception:
+                read = None
+        if read is None and is_multi_read_fast5(path):
             for read_id, read in read_multi_fast5_file(
                 path, options, errors
             ).items():
@@ -330,24 +341,15 @@ def read_fast5_batch(
                         version_census.get(read.albacore_version, 0) + 1
                     )
             continue
-        try:
-            if use_native:
-                from deepmod_tpu.native.fast5_native import read_fast5_native
-
-                try:
-                    read = read_fast5_native(path, options)
-                except Exception:
-                    read = read_fast5_file(path, options)  # fallback
-                if read is None:
-                    read = read_fast5_file(path, options)
-            else:
+        if read is None:
+            try:
                 read = read_fast5_file(path, options)
-        except (EventError, SignalRangeError) as exc:
-            errors.add(str(exc), path)
-            continue
-        except Exception:
-            errors.add("Cannot open fast5 or other errors", path)
-            continue
+            except (EventError, SignalRangeError) as exc:
+                errors.add(str(exc), path)
+                continue
+            except Exception:
+                errors.add("Cannot open fast5 or other errors", path)
+                continue
         if version_census is not None:
             version_census[read.albacore_version] = (
                 version_census.get(read.albacore_version, 0) + 1

@@ -181,23 +181,22 @@ def read_fast5_native(path: str, options=None):
             states = np.frombuffer(state.raw, dtype="S5")
             version_class = _version_class(version)
             if version_class == 1:
-                events = np.zeros(
+                events = np.empty(
                     int(n_ev),
                     dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"),
                            ("length", "<f8"), ("model_state", "S5"),
                            ("move", "<i8")],
                 )
-                events["start"] = start
-                events["length"] = length
             else:
-                events = np.zeros(
+                events = np.empty(
                     int(n_ev),
                     dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
                            ("length", "<u8"), ("model_state", "S5"),
                            ("move", "<i8")],
                 )
-                events["start"] = start.astype(np.uint64)
-                events["length"] = length.astype(np.uint64)
+            # field assignment casts in place (f8 -> u8 for v2+), no temps
+            events["start"] = start
+            events["length"] = length
             events["mean"] = mean
             events["stdv"] = stdv
             events["model_state"] = states
