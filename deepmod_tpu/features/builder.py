@@ -87,8 +87,10 @@ def build_feature_matrix(
     span_calls = np.frombuffer(
         basecall[start_clip : n_events - end_clip].encode(), np.uint8
     )
-    mapped_calls = aligned_read_bases.astype("S1").view(np.uint8)
-    if not np.array_equal(span_calls, mapped_calls):
+    # U1 -> codepoint via uint32 view (boolean-mask result is contiguous);
+    # avoids the much slower unicode->bytes astype('S1') conversion
+    mapped_calls = aligned_read_bases.view(np.uint32)
+    if not np.array_equal(span_calls, mapped_calls.astype(np.uint8)):
         raise FeatureBuildError("Error Does not match")
 
     mfeatures = np.zeros((n_rows, fnum + 3), np.float64)
@@ -106,8 +108,9 @@ def build_feature_matrix(
     # one-hot of the ALIGNED base's refbase (non-aligned pad rows stay 0;
     # '-'/'N' ref bases leave all four columns 0, myDetect.py:893-895)
     ref_at_aligned = base_map["refbase"][nongap]
+    ref_codes = ref_at_aligned.view(np.uint32)  # U1 codepoints
     for base, idx in BASE_TO_INDEX.items():
-        hit = arows[ref_at_aligned == base]
+        hit = arows[ref_codes == ord(base)]
         mfeatures[hit, fnum - 4 + 3 + idx] = 1.0
 
     # signal-derived columns for every in-range event

@@ -82,6 +82,30 @@ def _basecall_from_states(states: np.ndarray) -> str:
     return as_bytes[:, 2].tobytes().decode("ascii")
 
 
+def _basecall_from_events(m_event: np.ndarray) -> str:
+    """Center base of each event's model_state, straight off the struct.
+
+    A field view of a structured array is strided, so going through
+    ``_basecall_from_states(m_event['model_state'])`` pays a full 5-byte
+    copy per event; gathering the single center byte from a uint8 view of
+    the (contiguous) event array itself is ~5x cheaper.
+    """
+    n = len(m_event)
+    if n == 0:
+        return ""
+    field_dtype, off = m_event.dtype.fields["model_state"][:2]
+    if not m_event.flags.c_contiguous:
+        return _basecall_from_states(m_event["model_state"])
+    if field_dtype == np.dtype("S5"):
+        byte_off = off + 2           # 3rd ascii byte
+    elif field_dtype == np.dtype("<U5"):
+        byte_off = off + 2 * 4       # low byte of the 3rd UCS4 codepoint
+    else:
+        return _basecall_from_states(m_event["model_state"])
+    u8 = m_event.view(np.uint8).reshape(n, m_event.dtype.itemsize)
+    return u8[:, byte_off].tobytes().decode("ascii")
+
+
 def read_fast5_file(
     path: str, options: Fast5ReadOptions | None = None
 ) -> Fast5Read:
@@ -155,11 +179,11 @@ def read_fast5_file(
                 m_event, skip = collapse_events_v2(events_data)
             else:
                 m_event, skip = resegment_events(events_data, raw_signals, fq_seq)
-            basecall = _basecall_from_states(m_event["model_state"])
+            basecall = _basecall_from_events(m_event)
 
     span_start = int(m_event["start"][0])
     span_end = int(m_event["start"][-1] + m_event["length"][-1])
-    raw_signals = normalize_signal(raw_signals, span_start, span_end)
+    raw_signals = normalize_signal(raw_signals, span_start, span_end, in_place=True)
     m_event, n_valid = event_mean_std(m_event, raw_signals)
     if n_valid < len(basecall):
         basecall = basecall[:n_valid]
@@ -277,11 +301,11 @@ def _ingest_read_group(group, options: Fast5ReadOptions, path: str) -> Fast5Read
             m_event, skip = collapse_events_v2(events_data)
         else:
             m_event, skip = resegment_events(events_data, raw_signals, fq_seq)
-        basecall = _basecall_from_states(m_event["model_state"])
+        basecall = _basecall_from_events(m_event)
 
     span_start = int(m_event["start"][0])
     span_end = int(m_event["start"][-1] + m_event["length"][-1])
-    raw_signals = normalize_signal(raw_signals, span_start, span_end)
+    raw_signals = normalize_signal(raw_signals, span_start, span_end, in_place=True)
     m_event, n_valid = event_mean_std(m_event, raw_signals)
     if n_valid < len(basecall):
         basecall = basecall[:n_valid]

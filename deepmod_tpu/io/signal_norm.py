@@ -21,19 +21,24 @@ class SignalRangeError(ValueError):
 
 
 def normalize_signal(
-    raw_signals: np.ndarray, span_start: int, span_end: int
+    raw_signals: np.ndarray, span_start: int, span_end: int,
+    in_place: bool = False,
 ) -> np.ndarray:
     """Median/MAD normalize + 5xMAD winsorize + round to 3 decimals.
 
     ``span_start/span_end`` delimit the event-covered slice
     (m_event start[0] .. start[-1]+length[-1], myDetect.py:271-274); the
     whole array is transformed but statistics come from the span only.
+    ``in_place=True`` lets the native path overwrite ``raw_signals``
+    (only safe when the caller owns and discards the input).
     """
     raw = np.asarray(raw_signals, np.float64)
     if span_end > span_start:
         from deepmod_tpu.native.lib import normalize_signal_native
 
-        native = normalize_signal_native(raw, span_start, span_end)
+        native = normalize_signal_native(
+            raw, span_start, span_end, in_place=in_place
+        )
         if native is not None:
             return native
     span = raw[span_start:span_end]

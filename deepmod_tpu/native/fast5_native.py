@@ -112,7 +112,7 @@ def read_fast5_native(path: str, options=None):
     from deepmod_tpu.io.fast5 import (
         Fast5Read,
         Fast5ReadOptions,
-        _basecall_from_states,
+        _basecall_from_events,
         _version_class,
     )
     from deepmod_tpu.io.signal_norm import event_mean_std, normalize_signal
@@ -209,13 +209,13 @@ def read_fast5_native(path: str, options=None):
                 m_event, skip = collapse_events_v2(events)
             else:
                 m_event, skip = resegment_events(events, raw_signals, fq_seq)
-            basecall = _basecall_from_states(m_event["model_state"])
+            basecall = _basecall_from_events(m_event)
     finally:
         lib.dmt_f5_free(handle)
 
     span_start = int(m_event["start"][0])
     span_end = int(m_event["start"][-1] + m_event["length"][-1])
-    raw_signals = normalize_signal(raw_signals, span_start, span_end)
+    raw_signals = normalize_signal(raw_signals, span_start, span_end, in_place=True)
     m_event, n_valid = event_mean_std(m_event, raw_signals)
     if n_valid < len(basecall):
         basecall = basecall[:n_valid]

@@ -113,12 +113,17 @@ def event_stats_native(
 
 
 def normalize_signal_native(
-    signal: np.ndarray, span_start: int, span_end: int
+    signal: np.ndarray, span_start: int, span_end: int,
+    in_place: bool = False,
 ) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
-    sig = np.array(signal, np.float64)  # copy; modified in place
+    if in_place and isinstance(signal, np.ndarray) and \
+            signal.dtype == np.float64 and signal.flags.c_contiguous:
+        sig = signal
+    else:
+        sig = np.array(signal, np.float64)  # copy; modified in place
     lib.dmt_normalize_signal(
         sig.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sig),
         span_start, span_end,
@@ -137,14 +142,17 @@ def global_align_ops_native(a: str, b: str) -> Optional[List[Tuple[str, int]]]:
     )
     if n < 0:
         return None
-    ops: List[Tuple[str, int]] = []
-    raw = buf.raw[:n].decode()
-    for ch in raw:
-        if ops and ops[-1][0] == ch:
-            ops[-1] = (ch, ops[-1][1] + 1)
-        else:
-            ops.append((ch, 1))
-    return ops
+    if n == 0:
+        return []
+    # vectorized run-length encode of the op string
+    arr = np.frombuffer(buf.raw, np.uint8, count=n)
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(arr[1:] != arr[:-1]) + 1, [n]]
+    )
+    return [
+        (chr(arr[bounds[i]]), int(bounds[i + 1] - bounds[i]))
+        for i in range(len(bounds) - 1)
+    ]
 
 
 def minimizers_native(
