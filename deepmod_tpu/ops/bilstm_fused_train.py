@@ -38,6 +38,14 @@ from .bilstm_fused import (
 )
 
 
+def _sigmoid(x):
+    """sigmoid(x) == 0.5*tanh(x/2)+0.5 exactly; the tanh form lowers to a
+    single native transcendental on the VPU (see ops.bilstm_fused). Both
+    the forward cell and the backward recompute use THIS function so the
+    VJP differentiates the activations the forward actually produced."""
+    return 0.5 * jnp.tanh(0.5 * x) + 0.5
+
+
 # --------------------------------------------------------------- forward
 
 
@@ -65,8 +73,8 @@ def _fwd_kernel(
         j = gates[:, 1 * LANE : 2 * LANE]
         f = gates[:, 2 * LANE : 3 * LANE]
         o = gates[:, 3 * LANE : 4 * LANE]
-        new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * jnp.tanh(j)
-        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+        new_c = c * _sigmoid(f + forget_bias) + _sigmoid(i) * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * _sigmoid(o)
         return new_h, new_c
 
     n_steps = timesteps if stop_after is None else stop_after
@@ -162,10 +170,10 @@ def _bwd_kernel(
             + jnp.dot(h_prev, wh_ref[...], preferred_element_type=jnp.float32)
             + b_ref[...]
         )
-        i = jax.nn.sigmoid(gates[:, 0 * LANE : 1 * LANE])
+        i = _sigmoid(gates[:, 0 * LANE : 1 * LANE])
         j = jnp.tanh(gates[:, 1 * LANE : 2 * LANE])
-        f = jax.nn.sigmoid(gates[:, 2 * LANE : 3 * LANE] + forget_bias)
-        o = jax.nn.sigmoid(gates[:, 3 * LANE : 4 * LANE])
+        f = _sigmoid(gates[:, 2 * LANE : 3 * LANE] + forget_bias)
+        o = _sigmoid(gates[:, 3 * LANE : 4 * LANE])
 
         dh_total = dh_in_ref[pl.ds(t, 1), :, :][0] + dh_carry[...]
         tanh_c = jnp.tanh(c_t)

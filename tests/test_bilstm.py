@@ -180,6 +180,25 @@ def test_fused_pallas_v2_matches_scan(small_setup):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_fused_pallas_bf16_close_to_fp32(small_setup):
+    """bf16 mode (tanh-form sigmoid, half-width storage) stays within
+    bf16-resolution distance of the fp32 features; exact-parity evidence
+    is the on-chip argmax-flip study (docs/Validation.md)."""
+    config, params, x = small_setup
+    from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center
+
+    got = np.asarray(
+        bilstm_fused_center(
+            params, jnp.asarray(x), tile_b=8, interpret=True, precision="bf16"
+        )
+    )
+    want = np.asarray(
+        bilstm_fused_center(params, jnp.asarray(x), tile_b=8, interpret=True)
+    )
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+
 @pytest.mark.parametrize(
     "timesteps,num_layers",
     [(21, 1), (11, 3), (20, 3), (5, 2)],
