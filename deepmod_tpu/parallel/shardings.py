@@ -29,7 +29,9 @@ from deepmod_tpu.models.bilstm import (
 )
 
 
-def bilstm_param_spec(model_axis: Optional[str] = "model") -> Any:
+def bilstm_param_spec(
+    model_axis: Optional[str] = "model", num_layers: int = 3
+) -> Any:
     """PartitionSpec pytree for the BiLSTM parameter pytree.
 
     With a model axis: kernels (in+H, 4H) shard the gate dim, biases (4H,)
@@ -39,15 +41,15 @@ def bilstm_param_spec(model_axis: Optional[str] = "model") -> Any:
     if model_axis is None:
         layer = {"kernel": P(), "bias": P()}
         return {
-            "fw": [layer] * 3,
-            "bw": [layer] * 3,
+            "fw": [layer] * num_layers,
+            "bw": [layer] * num_layers,
             "out_w": P(),
             "out_b": P(),
         }
     layer = {"kernel": P(None, model_axis), "bias": P(model_axis)}
     return {
-        "fw": [layer] * 3,
-        "bw": [layer] * 3,
+        "fw": [layer] * num_layers,
+        "bw": [layer] * num_layers,
         "out_w": P(model_axis, None),
         "out_b": P(),
     }
@@ -70,7 +72,9 @@ def make_sharded_predict(
     """jit (params, x) -> predictions with dp (+ optional tp) shardings."""
     if model_axis is not None and model_axis not in mesh.axis_names:
         model_axis = None
-    param_sh = _tree_shardings(mesh, bilstm_param_spec(model_axis))
+    param_sh = _tree_shardings(
+        mesh, bilstm_param_spec(model_axis, model_config.num_layers)
+    )
     x_sh = NamedSharding(mesh, P(data_axis))
     out_sh = NamedSharding(mesh, P(data_axis))
     return jax.jit(
@@ -94,7 +98,7 @@ def make_sharded_train_step(
     """
     if model_axis is not None and model_axis not in mesh.axis_names:
         model_axis = None
-    param_spec = bilstm_param_spec(model_axis)
+    param_spec = bilstm_param_spec(model_axis, model_config.num_layers)
     param_sh = _tree_shardings(mesh, param_spec)
     batch_sh = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())

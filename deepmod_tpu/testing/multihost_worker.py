@@ -1,0 +1,132 @@
+"""Worker entry for REAL multi-process jax.distributed validation.
+
+The reference has no distributed backend at all (its "multi-node" story
+is independent runs + file merges, docs/Usage.md:22-27). Here the
+psum-based position-count merge and the data-parallel train step are the
+cross-host primitives; this worker runs them under an actual
+``jax.distributed`` runtime (gRPC coordinator, one process per simulated
+host, 2 local CPU devices each) so the multi-host path is exercised with
+genuine cross-process collectives, not just a single-process mesh.
+
+Usage (spawned by tests/test_multihost.py):
+    python -m deepmod_tpu.testing.multihost_worker \
+        <process_id> <num_processes> <port> <out_json>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    pid, nproc, port, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    import os
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from deepmod_tpu.parallel.aggregation import sharded_position_counts
+
+    assert jax.process_count() == nproc
+    n_local = jax.local_device_count()
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+    # ---- cross-process position-count merge ------------------------------
+    # each process contributes DISTINCT observations; the merged counts
+    # must equal the numpy sum over all processes (deterministically
+    # reconstructable from pid)
+    length = 64
+    rows_per_proc = 8
+
+    def local_obs(p):
+        rng = np.random.RandomState(100 + p)
+        pos = rng.randint(0, length, rows_per_proc).astype(np.int32)
+        cov = np.ones(rows_per_proc, np.int32)
+        mod = (rng.rand(rows_per_proc) < 0.5).astype(np.int32)
+        return pos, cov, mod
+
+    pos, cov, mod = local_obs(pid)
+    sharding = NamedSharding(mesh, P("data"))
+    g_pos, g_cov, g_mod = (
+        jax.make_array_from_process_local_data(sharding, a)
+        for a in (pos, cov, mod)
+    )
+    cov_vec, mod_vec = sharded_position_counts(
+        mesh, g_pos, g_cov, g_mod, length
+    )
+    cov_np = np.asarray(cov_vec.addressable_data(0))
+    mod_np = np.asarray(mod_vec.addressable_data(0))
+
+    # independent numpy reference over ALL processes
+    want_cov = np.zeros(length, np.int64)
+    want_mod = np.zeros(length, np.int64)
+    for p in range(nproc):
+        ppos, pcov, pmod = local_obs(p)
+        np.add.at(want_cov, ppos, pcov)
+        np.add.at(want_mod, ppos, pmod)
+    counts_ok = bool(
+        np.array_equal(cov_np, want_cov) and np.array_equal(mod_np, want_mod)
+    )
+
+    # ---- cross-process data-parallel train step --------------------------
+    import optax
+
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+    from deepmod_tpu.parallel.shardings import make_sharded_train_step
+
+    config = BiLSTMConfig(num_input=7, num_hidden=16, timesteps=5, num_layers=1)
+    params = init_bilstm_params(jax.random.PRNGKey(0), config)  # same seed everywhere
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_sharded_train_step(config, optimizer, mesh, model_axis=None)
+
+    per_proc = 2 * n_local
+    rng = np.random.RandomState(7 + pid)  # distinct shard per process
+    x_local = rng.randn(per_proc, 5, 7).astype(np.float32)
+    y_local = np.zeros((per_proc, 2), np.float32)
+    y_local[np.arange(per_proc) % 2, 0] = 1.0
+    y_local[np.arange(per_proc) % 2 == 0, 1] = 1.0
+    m_local = np.ones((per_proc,), np.float32)
+    gx, gy, gm = (
+        jax.make_array_from_process_local_data(sharding, a)
+        for a in (x_local, y_local, m_local)
+    )
+    new_params, _, loss = step(params, opt_state, gx, gy, gm)
+    loss_val = float(np.asarray(loss.addressable_data(0)))
+    # updated params are replicated: checksum must agree across processes
+    checksum = float(
+        sum(
+            float(np.abs(np.asarray(leaf.addressable_data(0))).sum())
+            for leaf in jax.tree_util.tree_leaves(new_params)
+        )
+    )
+
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "pid": pid,
+                "devices": jax.device_count(),
+                "local_devices": n_local,
+                "counts_ok": counts_ok,
+                "loss": loss_val,
+                "checksum": checksum,
+            },
+            fh,
+        )
+
+
+if __name__ == "__main__":
+    main()
