@@ -307,13 +307,19 @@ class SimulatedRead:
 
 
 def generate_dataset(
-    out_dir: str, config: SynthConfig
+    out_dir: str, config: SynthConfig,
+    genome: Optional[Dict[str, str]] = None,
 ) -> Tuple[Dict[str, str], List[SimulatedRead]]:
-    """Genome FASTA + fast5 directory; returns (genome, reads)."""
+    """Genome FASTA + fast5 directory; returns (genome, reads).
+
+    Pass ``genome`` to reuse one genome across datasets (e.g. a
+    methylated sample, a control sample, and held-out test sets that
+    must share the reference)."""
     from deepmod_tpu.io.fasta import write_fasta
 
     rng = np.random.RandomState(config.seed)
-    genome = make_genome(rng, config.genome_sizes)
+    if genome is None:
+        genome = make_genome(rng, config.genome_sizes)
     os.makedirs(os.path.join(out_dir, "fast5"), exist_ok=True)
     write_fasta(os.path.join(out_dir, "ref.fa"), genome)
     reads: List[SimulatedRead] = []
