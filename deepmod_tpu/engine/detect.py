@@ -162,11 +162,24 @@ class WindowPredictor:
                 return b
         return self.buckets[-1]
 
+    def _transfer_dtype(self):
+        # bf16 mode: cast on the HOST before transfer — numpy/ml_dtypes
+        # rounds nearest-even exactly like XLA's convert, so results are
+        # bit-identical to casting on device, and host->device bytes halve
+        if self.precision == "bf16" and self.use_pallas:
+            import ml_dtypes
+
+            return np.dtype(ml_dtypes.bfloat16)
+        return np.dtype(np.float32)
+
     def predict(self, windows: np.ndarray) -> np.ndarray:
         """(N, T, F) -> (N,) int8 predictions."""
         n = len(windows)
         if n == 0:
             return np.empty(0, np.int8)
+        dt = self._transfer_dtype()
+        if windows.dtype != dt:
+            windows = windows.astype(dt)
         out = np.empty(n, np.int8)
         big = self.buckets[-1]
         done = 0
@@ -202,7 +215,9 @@ class WindowPredictor:
         half = window // 2
         view = np.lib.stride_tricks.sliding_window_view(features, window, axis=0)
         windows = np.moveaxis(view[centers - half], 2, 1)
-        return self.predict(np.ascontiguousarray(windows))
+        # astype always copies, so this materializes the strided view and
+        # (in bf16 mode) does the half-width transfer cast in one pass
+        return self.predict(windows.astype(self._transfer_dtype()))
 
 
 def discover_fast5(wrk_base: str, recursive: bool = True) -> List[str]:
@@ -232,50 +247,47 @@ def _region_ok(rname: str, pos: int, n_events: int, config: DetectConfig) -> boo
 
 
 def _save_predetail(
-    h5_path: str,
+    fh,  # open h5py.File (one per batch — opening per read costs ~1ms each)
     pred_key: str,
     item,  # HostReadResult
     pred_mod_num: int,
 ) -> None:
     """Per-read prediction HDF5, format-identical to myDetect.py:716-760."""
-    import h5py
-
     bm = item.base_map
-    with h5py.File(h5_path, "a") as fh:
-        base_group = fh["pred"] if "pred" in fh else fh.create_group("pred")
-        if pred_key in base_group:
-            del base_group[pred_key]
-        group = base_group.create_group(pred_key)
-        group.attrs["mapped_chr"] = item.rname
-        group.attrs["mapped_strand"] = item.strand
-        group.attrs["mapped_start"] = (
-            bm["refbasei"][0] if item.strand == "+" else bm["refbasei"][-1]
-        )
-        group.attrs["mapped_end"] = (
-            bm["refbasei"][-1] if item.strand == "+" else bm["refbasei"][0]
-        )
-        group.attrs["clipped_bases_start"] = (
-            item.left_clip if item.strand == "+" else item.right_clip
-        )
-        group.attrs["clipped_bases_end"] = (
-            item.right_clip if item.strand == "+" else item.left_clip
-        )
-        group.attrs["num_insertions"] = item.num_insert
-        group.attrs["num_deletions"] = item.num_del
-        group.attrs["num_matches"] = item.num_match
-        group.attrs["num_mismatches"] = item.num_mismatch
-        group.attrs["pred_mod_num"] = pred_mod_num
-        group.attrs["f5file"] = item.path
-        group.attrs["readk"] = item.read_id
-        as_s1 = np.empty(
-            len(bm),
-            dtype=[("refbase", "S1"), ("readbase", "S1"),
-                   ("refbasei", np.uint64), ("readbasei", np.uint64),
-                   ("mod_pred", np.int64)],
-        )
-        for field in ("refbase", "readbase", "refbasei", "readbasei", "mod_pred"):
-            as_s1[field] = bm[field]
-        group.create_dataset("predetail", data=as_s1, compression="gzip")
+    base_group = fh["pred"] if "pred" in fh else fh.create_group("pred")
+    if pred_key in base_group:
+        del base_group[pred_key]
+    group = base_group.create_group(pred_key)
+    group.attrs["mapped_chr"] = item.rname
+    group.attrs["mapped_strand"] = item.strand
+    group.attrs["mapped_start"] = (
+        bm["refbasei"][0] if item.strand == "+" else bm["refbasei"][-1]
+    )
+    group.attrs["mapped_end"] = (
+        bm["refbasei"][-1] if item.strand == "+" else bm["refbasei"][0]
+    )
+    group.attrs["clipped_bases_start"] = (
+        item.left_clip if item.strand == "+" else item.right_clip
+    )
+    group.attrs["clipped_bases_end"] = (
+        item.right_clip if item.strand == "+" else item.left_clip
+    )
+    group.attrs["num_insertions"] = item.num_insert
+    group.attrs["num_deletions"] = item.num_del
+    group.attrs["num_matches"] = item.num_match
+    group.attrs["num_mismatches"] = item.num_mismatch
+    group.attrs["pred_mod_num"] = pred_mod_num
+    group.attrs["f5file"] = item.path
+    group.attrs["readk"] = item.read_id
+    as_s1 = np.empty(
+        len(bm),
+        dtype=[("refbase", "S1"), ("readbase", "S1"),
+               ("refbasei", np.uint64), ("readbasei", np.uint64),
+               ("mod_pred", np.int64)],
+    )
+    for field in ("refbase", "readbase", "refbasei", "readbasei", "mod_pred"):
+        as_s1[field] = bm[field]
+    group.create_dataset("predetail", data=as_s1, compression="gzip")
 
 
 def _host_options(config: DetectConfig):
@@ -338,48 +350,61 @@ def consume_host_results(
     offset = 0
     outputs_ctx = stage("outputs_and_aggregation")
     outputs_ctx.__enter__()
-    for readk_ind, item in enumerate(results):
-        n_aligned = item.n_aligned
-        p = preds[offset : offset + n_aligned]
-        offset += n_aligned
-        # scatter onto non-gap base-map rows (mPredict1, myDetect.py:823-833)
-        nongap = np.flatnonzero(item.base_map["readbase"] != "-")
-        if len(nongap) != n_aligned:
-            raise FeatureBuildError("Error Does not match")
-        hits = nongap[p == 1]
-        item.base_map["mod_pred"][hits] = 1
-        pred_mod_num = int(len(hits))
-        if config.mod_cluster:
-            from .summarize import apply_mod_cluster_rescue
+    # one HDF5 open per batch (a per-read open/close costs ~1 ms each)
+    pred_fh = None
+    if config.write_per_read:
+        import h5py
 
-            apply_mod_cluster_rescue(item.base_map)
-        # accumulate counts (sum_handler rules)
-        key = (item.rname, item.strand)
-        if key not in counts:
-            counts[key] = PositionCounts.zeros(item.chrom_length)
-        if use_device_agg and counts[key].dense:
-            bm = item.base_map
-            is_target = bm["refbase"] == config.base
-            counts[key].seen[bm["refbasei"][is_target].astype(np.int64)] = True
-            sel = is_target & (bm["readbase"] != "-")
-            pos = bm["refbasei"][sel].astype(np.int64)
-            batch_obs.setdefault(key, []).append(
-                (pos, (bm["mod_pred"][sel] == 1).astype(np.int64))
-            )
-        else:
-            counts[key].add_base_map(item.base_map, config.base)
+        pred_fh = h5py.File(pred_file, "a")
+    try:
+        for readk_ind, item in enumerate(results):
+            n_aligned = item.n_aligned
+            p = preds[offset : offset + n_aligned]
+            offset += n_aligned
+            # scatter onto non-gap base-map rows (mPredict1,
+            # myDetect.py:823-833)
+            nongap = np.flatnonzero(item.base_map["readbase"] != "-")
+            if len(nongap) != n_aligned:
+                raise FeatureBuildError("Error Does not match")
+            hits = nongap[p == 1]
+            item.base_map["mod_pred"][hits] = 1
+            pred_mod_num = int(len(hits))
+            if config.mod_cluster:
+                from .summarize import apply_mod_cluster_rescue
 
-        if config.write_per_read:
-            pred_key = f"pred_{readk_ind}"
-            _save_predetail(pred_file, pred_key, item, pred_mod_num)
-            rel_f5 = os.path.relpath(item.path, config.wrk_base)
-            rel_pred = os.path.relpath(
-                pred_file, os.path.join(config.out_folder, config.file_id)
-            )
-            index_entries.append(
-                [item.rname, item.strand, str(item.pos0), pred_key,
-                 rel_f5, rel_pred]
-            )
+                apply_mod_cluster_rescue(item.base_map)
+            # accumulate counts (sum_handler rules)
+            key = (item.rname, item.strand)
+            if key not in counts:
+                counts[key] = PositionCounts.zeros(item.chrom_length)
+            if use_device_agg and counts[key].dense:
+                bm = item.base_map
+                is_target = bm["refbase"] == config.base
+                counts[key].seen[
+                    bm["refbasei"][is_target].astype(np.int64)
+                ] = True
+                sel = is_target & (bm["readbase"] != "-")
+                pos = bm["refbasei"][sel].astype(np.int64)
+                batch_obs.setdefault(key, []).append(
+                    (pos, (bm["mod_pred"][sel] == 1).astype(np.int64))
+                )
+            else:
+                counts[key].add_base_map(item.base_map, config.base)
+
+            if config.write_per_read:
+                pred_key = f"pred_{readk_ind}"
+                _save_predetail(pred_fh, pred_key, item, pred_mod_num)
+                rel_f5 = os.path.relpath(item.path, config.wrk_base)
+                rel_pred = os.path.relpath(
+                    pred_file, os.path.join(config.out_folder, config.file_id)
+                )
+                index_entries.append(
+                    [item.rname, item.strand, str(item.pos0), pred_key,
+                     rel_f5, rel_pred]
+                )
+    finally:
+        if pred_fh is not None:
+            pred_fh.close()
     outputs_ctx.__exit__(None, None, None)
     if batch_obs:
         # ONE device reduction per (chr, strand) for the whole batch:

@@ -265,3 +265,40 @@ def test_device_aggregation_matches_host(e2e, tmp_path):
     assert res.num_reads == result.num_reads
     for b1, b2 in zip(sorted(result.bed_files), sorted(res.bed_files)):
         assert open(b1).read() == open(b2).read()
+
+
+def test_bf16_host_cast_matches_device_cast():
+    """The bf16 transfer path casts windows on the HOST before device_put
+    (halving transfer bytes); numpy/ml_dtypes rounds nearest-even exactly
+    like XLA's convert, so the device sees identical bits."""
+    import ml_dtypes
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((257, 21, 7)).astype(np.float32)
+    host = w.astype(ml_dtypes.bfloat16)
+    dev = np.asarray(jnp.asarray(w).astype(jnp.bfloat16))
+    assert host.tobytes() == dev.tobytes()
+
+
+def test_predictor_bf16_transfer_path(e2e):
+    """WindowPredictor in bf16 mode (host-cast transfer + fused kernel,
+    interpret on CPU) agrees with the fp32 scan path on real pipeline
+    windows."""
+    from deepmod_tpu.engine.detect import WindowPredictor
+
+    out, genome, reads, det, result = e2e
+    model_config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
+    rng = np.random.default_rng(7)
+    windows = rng.standard_normal((40, 21, 7)).astype(np.float32)
+    p32 = WindowPredictor(
+        params, model_config, buckets=(64,), use_pallas=False,
+        data_parallel=False,
+    ).predict(windows)
+    p16 = WindowPredictor(
+        params, model_config, buckets=(64,), use_pallas=True,
+        data_parallel=False, precision="bf16",
+    ).predict(windows)
+    assert p16.shape == p32.shape
+    np.testing.assert_array_equal(p16, p32)
