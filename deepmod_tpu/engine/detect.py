@@ -27,7 +27,7 @@ import glob
 import os
 import time
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -173,7 +173,14 @@ class WindowPredictor:
         return np.dtype(np.float32)
 
     def predict(self, windows: np.ndarray) -> np.ndarray:
-        """(N, T, F) -> (N,) int8 predictions."""
+        """(N, T, F) -> (N,) int8 predictions.
+
+        Chunk dispatch is ASYNC with a bounded in-flight queue: JAX
+        enqueues host->device transfer + compute per chunk and returns
+        immediately, so chunk i+1's transfer overlaps chunk i's compute
+        (the result fetch is 1 byte/window — negligible). Lookahead 2 is
+        enough to hide either side and bounds device memory.
+        """
         n = len(windows)
         if n == 0:
             return np.empty(0, np.int8)
@@ -182,18 +189,28 @@ class WindowPredictor:
             windows = windows.astype(dt)
         out = np.empty(n, np.int8)
         big = self.buckets[-1]
+        inflight: List[Tuple[int, int, Any]] = []  # (start, count, device arr)
+        lookahead = 2
+
+        def drain(limit: int) -> None:
+            while len(inflight) > limit:
+                start, count, preds = inflight.pop(0)
+                out[start : start + count] = np.asarray(preds)[:count]
+
         done = 0
         while n - done >= big:
-            chunk = jnp.asarray(windows[done : done + big])
-            out[done : done + big] = np.asarray(self._fn(self.params, chunk))
+            inflight.append(
+                (done, big, self._fn(self.params, jnp.asarray(windows[done : done + big])))
+            )
             done += big
+            drain(lookahead)
         if done < n:
             rem = n - done
             bucket = self._bucket_for(rem)
             padded = np.zeros((bucket,) + windows.shape[1:], windows.dtype)
             padded[:rem] = windows[done:]
-            preds = np.asarray(self._fn(self.params, jnp.asarray(padded)))
-            out[done:] = preds[:rem]
+            inflight.append((done, rem, self._fn(self.params, jnp.asarray(padded))))
+        drain(0)
         return out
 
     def predict_from_features(
