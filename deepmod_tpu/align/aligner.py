@@ -78,6 +78,7 @@ class MinimizerAligner(AlignerBase):
 
 
 _INDEX_CACHE: Dict[str, MinimizerAligner] = {}
+_PREALIGNED_CACHE: Dict[str, AlignerBase] = {}
 
 
 def get_aligner(
@@ -87,11 +88,22 @@ def get_aligner(
 ) -> AlignerBase:
     """Resolve an aligner backend.
 
-    tool: 'minimap2' | 'bwa' | 'builtin' | 'auto'. 'auto' uses minimap2 or
-    bwa if installed, else the built-in mapper. Built-in indexes are cached
-    per reference path (mirrors each reference worker building its index
-    once per process).
+    tool: 'minimap2' | 'bwa' | 'builtin' | 'auto' | path to a .sam/.bam.
+    'auto' uses minimap2 or bwa if installed, else the built-in mapper.
+    A .sam/.sam.gz/.bam path skips alignment entirely and serves records
+    from that file (align.alignfile.PrealignedAligner — beyond the
+    reference, which always re-aligns in-pipeline). Built-in indexes and
+    pre-aligned lookups are cached per path (mirrors each reference
+    worker building its index once per process).
     """
+    if tool.endswith((".sam", ".sam.gz", ".bam")):
+        if tool in _PREALIGNED_CACHE:
+            return _PREALIGNED_CACHE[tool]
+        from .alignfile import PrealignedAligner
+
+        aligner = PrealignedAligner(tool)
+        _PREALIGNED_CACHE[tool] = aligner
+        return aligner
     if tool in ("minimap2", "bwa"):
         if shutil.which(tool) is None:
             raise FileNotFoundError(
@@ -99,6 +111,11 @@ def get_aligner(
                 "use the built-in aligner (alignStr=builtin)"
             )
         return ExternalAligner(ref_fasta_path, tool)
+    if tool not in ("auto", "builtin"):
+        raise ValueError(
+            f"--alignStr {tool!r}: expected bwa|minimap2|builtin|auto or a "
+            ".sam/.sam.gz/.bam path"
+        )
     if tool == "auto":
         for candidate in ("minimap2", "bwa"):
             if shutil.which(candidate):

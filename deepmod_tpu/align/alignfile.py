@@ -1,0 +1,254 @@
+"""Pre-aligned input: consume SAM/BAM alignments instead of aligning.
+
+Beyond the reference (which always writes a temp FASTA of event-derived
+basecalls and shells out to minimap2/bwa in-pipeline, myDetect.py:397-424):
+modern basecaller workflows already carry aligned BAMs, so detect and
+getfeatures accept ``--alignFile`` and skip the alignment stage entirely.
+
+The BAM decoder is self-contained (no pysam/htslib): BGZF is a stream of
+concatenated gzip members, which :mod:`gzip` reads transparently, and the
+record layout follows the SAM/BAM spec (SAMv1.pdf §4.2). Records pass
+through the SAME best-mapq sanity filter as in-pipeline SAM
+(align.sam.filter_best_alignments, myDetect.py:929-943); secondary and
+supplementary records (flag 0x100/0x800) are dropped up front because
+their SEQ is absent or hard-clipped.
+
+Requirement: the alignment file must have been produced from the same
+basecalls the fast5s carry — downstream consistency checks
+(features.builder) reject reads whose aligned SEQ disagrees with the
+event-derived basecall.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from typing import Dict, Iterable, Iterator, Tuple
+
+from .sam import SamRecord, parse_sam_line, record_filter_status
+
+_CIGAR_OPS = "MIDNSHP=X"
+_SEQ_CODES = "=ACMGRSVTWYHKDBN"
+_SKIP_FLAGS = 0x900  # secondary | supplementary
+
+
+def _read_exact(fh, n: int) -> bytes:
+    buf = fh.read(n)
+    while len(buf) < n:
+        chunk = fh.read(n - len(buf))
+        if not chunk:
+            raise ValueError("truncated BAM stream")
+        buf += chunk
+    return buf
+
+
+def iter_bam(path: str) -> Iterator[SamRecord]:
+    """Stream primary alignment records from a BAM file."""
+    with gzip.open(path, "rb") as fh:
+        if _read_exact(fh, 4) != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file (bad magic)")
+        (l_text,) = struct.unpack("<i", _read_exact(fh, 4))
+        _read_exact(fh, l_text)  # header text (unused)
+        (n_ref,) = struct.unpack("<i", _read_exact(fh, 4))
+        ref_names = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", _read_exact(fh, 4))
+            name = _read_exact(fh, l_name)[:-1].decode()
+            _read_exact(fh, 4)  # l_ref
+            ref_names.append(name)
+        while True:
+            head = fh.read(4)
+            if not head:
+                return
+            if len(head) < 4:
+                raise ValueError("truncated BAM record")
+            (block_size,) = struct.unpack("<i", head)
+            rec = _read_exact(fh, block_size)
+            (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
+             l_seq, _next_ref, _next_pos, _tlen) = struct.unpack(
+                "<iiBBHHHiiii", rec[:32]
+            )
+            if flag & _SKIP_FLAGS:
+                continue
+            off = 32
+            qname = rec[off : off + l_read_name - 1].decode()
+            off += l_read_name
+            cigar_ops = struct.unpack_from(f"<{n_cigar}I", rec, off)
+            off += 4 * n_cigar
+            cigar = (
+                "".join(
+                    f"{op >> 4}{_CIGAR_OPS[op & 0xF]}" for op in cigar_ops
+                )
+                or "*"
+            )
+            n_seq_bytes = (l_seq + 1) // 2
+            seq_packed = rec[off : off + n_seq_bytes]
+            seq_chars = []
+            for byte in seq_packed:
+                seq_chars.append(_SEQ_CODES[byte >> 4])
+                seq_chars.append(_SEQ_CODES[byte & 0xF])
+            seq = "".join(seq_chars[:l_seq]) if l_seq else "*"
+            yield SamRecord(
+                qname=qname,
+                flag=flag,
+                rname=ref_names[ref_id] if 0 <= ref_id < n_ref else "*",
+                pos=pos + 1,  # BAM is 0-based, SamRecord follows SAM
+                mapq=mapq,
+                cigar=cigar,
+                seq=seq,
+            )
+
+
+def iter_sam(path: str) -> Iterator[SamRecord]:
+    """Stream records from a SAM text file (.sam or .sam.gz)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:  # type: ignore[operator]
+        for line in fh:
+            rec = parse_sam_line(line)
+            if rec is not None and not rec.flag & _SKIP_FLAGS:
+                yield rec
+
+
+def iter_alignment_file(path: str) -> Iterator[SamRecord]:
+    if path.endswith(".bam"):
+        return iter_bam(path)
+    return iter_sam(path)
+
+
+class PrealignedAligner:
+    """AlignerBase-compatible lookup over a SAM/BAM file.
+
+    The file is scanned ONCE at construction (per worker, like the
+    built-in aligner's index build), keeping only the best-mapq primary
+    record per qname — memory is one record per read, not per alignment.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        best: Dict[str, SamRecord] = {}
+        for rec in iter_alignment_file(path):
+            if record_filter_status(rec):
+                continue
+            prev = best.get(rec.qname)
+            if prev is None or prev.mapq < rec.mapq:
+                best[rec.qname] = rec
+        self._by_qname = best
+
+    def align(self, reads: Dict[str, str]):
+        """Return records for the requested read ids.
+
+        fast5 read ids are the full fastq header with spaces mapped to
+        ':::' (io.fast5); BAM/SAM qnames are the first header token, so
+        both spellings resolve. Returned qnames are rewritten to the
+        requested id so downstream keying is uniform.
+        """
+        out = []
+        for rid in sorted(reads):
+            rec = self._by_qname.get(rid)
+            if rec is None:
+                rec = self._by_qname.get(rid.split(":::", 1)[0])
+            if rec is not None:
+                out.append(
+                    SamRecord(
+                        qname=rid,
+                        flag=rec.flag,
+                        rname=rec.rname,
+                        pos=rec.pos,
+                        mapq=rec.mapq,
+                        cigar=rec.cigar,
+                        seq=rec.seq,
+                    )
+                )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# BAM writing (BGZF blocks) — used by tests and for exporting alignments.
+
+
+def _bgzf_block(payload: bytes) -> bytes:
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = comp.compress(payload) + comp.flush()
+    bsize = len(cdata) + 25  # total block length - 1
+    return (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<H", 6)
+        + b"BC"
+        + struct.pack("<HH", 2, bsize)
+        + cdata
+        + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
+    )
+
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def _encode_record(rec: SamRecord, ref_ids: Dict[str, int]) -> bytes:
+    name = rec.qname.encode() + b"\x00"
+    cigar_ops = []
+    if rec.cigar != "*":
+        num = 0
+        for ch in rec.cigar:
+            if ch.isdigit():
+                num = num * 10 + ord(ch) - 48
+            else:
+                cigar_ops.append((num << 4) | _CIGAR_OPS.index(ch))
+                num = 0
+    seq = rec.seq if rec.seq != "*" else ""
+    packed = bytearray((len(seq) + 1) // 2)
+    for i, base in enumerate(seq):
+        code = _SEQ_CODES.index(base) if base in _SEQ_CODES else 15
+        packed[i // 2] |= code << (4 if i % 2 == 0 else 0)
+    body = (
+        struct.pack(
+            "<iiBBHHHiiii",
+            ref_ids.get(rec.rname, -1),
+            rec.pos - 1,
+            len(name),
+            rec.mapq,
+            0,
+            len(cigar_ops),
+            rec.flag,
+            len(seq),
+            -1,
+            -1,
+            0,
+        )
+        + name
+        + struct.pack(f"<{len(cigar_ops)}I", *cigar_ops)
+        + bytes(packed)
+        + b"\xff" * len(seq)
+    )
+    return struct.pack("<i", len(body)) + body
+
+
+def write_bam(
+    path: str,
+    refs: Iterable[Tuple[str, int]],
+    records: Iterable[SamRecord],
+) -> None:
+    """Minimal BAM writer: refs = [(name, length)], records in any order."""
+    refs = list(refs)
+    ref_ids = {name: i for i, (name, _) in enumerate(refs)}
+    header_text = (
+        "@HD\tVN:1.6\n"
+        + "".join(f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in refs)
+    ).encode()
+    payload = bytearray()
+    payload += b"BAM\x01"
+    payload += struct.pack("<i", len(header_text)) + header_text
+    payload += struct.pack("<i", len(refs))
+    for name, length in refs:
+        nm = name.encode() + b"\x00"
+        payload += struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
+    for rec in records:
+        payload += _encode_record(rec, ref_ids)
+    with open(path, "wb") as fh:
+        # split into <=60KB BGZF blocks (spec caps a block at 64KB)
+        chunk = 60 * 1024
+        for i in range(0, len(payload), chunk):
+            fh.write(_bgzf_block(bytes(payload[i : i + chunk])))
+        fh.write(_BGZF_EOF)

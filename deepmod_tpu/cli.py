@@ -27,7 +27,9 @@ def _common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--windowsize", type=int, default=21)
     parser.add_argument(
         "--alignStr", type=str, default="auto",
-        choices=["bwa", "minimap2", "builtin", "auto"],
+        help="bwa | minimap2 | builtin | auto, or a path to a pre-aligned "
+        ".sam/.sam.gz/.bam to skip alignment (reference flag: DeepMod.py "
+        "--alignStr, subprocess backends only)",
     )
     parser.add_argument(
         "--SignalGroup", type=str, default="simple", choices=["simple", "rundif"]
