@@ -29,8 +29,14 @@ from .dp import global_align_ops, merge_ops, ops_to_cigar
 
 try:
     from deepmod_tpu.native.lib import minimizers_native as _native_minimizers
+    from deepmod_tpu.native.lib import chain_band_native as _native_chain
+    from deepmod_tpu.native.lib import (
+        global_align_multi_native as _native_align_multi,
+    )
 except Exception:  # pragma: no cover
     _native_minimizers = None
+    _native_chain = None
+    _native_align_multi = None
 from .sam import SamRecord
 
 _BASE_CODE = np.full(256, 255, np.uint8)
@@ -157,6 +163,23 @@ def _best_chain(
         mask = rid == cur_rid
         q = qpos[mask]
         r = rpos[mask]
+        if _native_chain is not None:
+            native = _native_chain(q, r, band)
+            if native is not None:
+                keep_q_n, keep_r_n, second_n = native
+                if len(keep_q_n) == 0:
+                    continue
+                chain = _Chain(
+                    rid=int(cur_rid),
+                    strand=strand,
+                    anchors_q=keep_q_n,
+                    anchors_r=keep_r_n,
+                    score=len(keep_q_n),
+                    second_score=second_n,
+                )
+                if best is None or chain.score > best.score:
+                    best = chain
+                continue
         diag = r - q
         # histogram diagonals into `band`-wide bins; densest bin wins
         bins = diag // band
@@ -214,6 +237,14 @@ class BuiltinAligner:
         self.index = index
         self.min_chain_anchors = min_chain_anchors
         self.tail_flank = tail_flank
+        self._ref_bytes_cache: Dict[int, bytes] = {}
+
+    def _ref_bytes(self, rid: int) -> bytes:
+        cached = self._ref_bytes_cache.get(rid)
+        if cached is None:
+            cached = self.index.seqs[rid].encode()
+            self._ref_bytes_cache[rid] = cached
+        return cached
 
     def map_read(self, name: str, seq: str) -> Optional[SamRecord]:
         k = self.index.k
@@ -240,22 +271,29 @@ class BuiltinAligner:
 
         oseq = oriented[chain.strand]
         ref = self.index.seqs[chain.rid]
-        ops: List[Tuple[str, int]] = []
+        # Two passes: collect fixed op runs interleaved with DP segments,
+        # then run ALL the read's segments in ONE native call (per-call
+        # ctypes marshalling dominates at the typical ~18 gaps/read).
+        plan: List[Tuple[str, object]] = []  # ("ops", [(op,n)]) | ("seg", i)
+        segs: List[Tuple[int, int, int, int]] = []
+
+        def add_seg(qs: int, qe: int, rs: int, re: int) -> None:
+            plan.append(("seg", len(segs)))
+            segs.append((qs, qe, rs, re))
 
         q0 = int(chain.anchors_q[0])
         r0 = int(chain.anchors_r[0])
         # left tail: align the read head against the same-length ref window
         # ending at the first anchor (any overhang becomes leading I ops,
         # which downstream clip-stripping absorbs)
-        head_q = oseq[:q0]
         soft_left = 0
-        if head_q:
-            head_r_start = r0 - min(len(head_q), r0)
+        if q0:
+            head_r_start = r0 - min(q0, r0)
             if r0 > head_r_start:
-                ops.extend(global_align_ops(head_q, ref[head_r_start:r0]))
+                add_seg(0, q0, head_r_start, r0)
                 map_start = head_r_start
             else:
-                soft_left = len(head_q)
+                soft_left = q0
                 map_start = r0
         else:
             map_start = r0
@@ -266,24 +304,39 @@ class BuiltinAligner:
             aq, ar = int(aq), int(ar)
             dq, dr = aq - prev_q, ar - prev_r
             if dq == dr:
-                ops.append(("M", dq))
+                plan.append(("ops", [("M", dq)]))
             else:
-                ops.extend(global_align_ops(oseq[prev_q:aq], ref[prev_r:ar]))
+                add_seg(prev_q, aq, prev_r, ar)
             prev_q, prev_r = aq, ar
         # last anchor's k-mer is an exact match
-        ops.append(("M", k))
+        plan.append(("ops", [("M", k)]))
         prev_q += k
         prev_r += k
 
         # right tail
-        tail_q = oseq[prev_q:]
         soft_right = 0
-        if tail_q:
-            tail_r_end = min(prev_r + len(tail_q), len(ref))
+        n_tail = len(oseq) - prev_q
+        if n_tail:
+            tail_r_end = min(prev_r + n_tail, len(ref))
             if tail_r_end > prev_r:
-                ops.extend(global_align_ops(tail_q, ref[prev_r:tail_r_end]))
+                add_seg(prev_q, len(oseq), prev_r, tail_r_end)
             else:
-                soft_right = len(tail_q)
+                soft_right = n_tail
+
+        seg_ops: Optional[List[List[Tuple[str, int]]]] = None
+        if segs and _native_align_multi is not None:
+            seg_ops = _native_align_multi(
+                oseq.encode(), self._ref_bytes(chain.rid),
+                np.asarray(segs, np.int64),
+            )
+        if seg_ops is None:
+            seg_ops = [
+                global_align_ops(oseq[qs:qe], ref[rs:re])
+                for qs, qe, rs, re in segs
+            ]
+        ops: List[Tuple[str, int]] = []
+        for kind, val in plan:
+            ops.extend(seg_ops[val] if kind == "seg" else val)  # type: ignore[index,arg-type]
 
         full_ops: List[Tuple[str, int]] = []
         if soft_left:

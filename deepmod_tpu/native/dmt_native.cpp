@@ -161,6 +161,97 @@ int dmt_global_align(const char* a, int na, const char* b, int nb,
   return len;
 }
 
+// Batched gap alignment: all inter-anchor segments of one read in a single
+// call (the per-call ctypes marshalling dominates at ~18 segments/read).
+// Segment i aligns q[q_starts[i]:q_ends[i]] vs r[r_starts[i]:r_ends[i]];
+// ops are written back-to-back into ops_out with per-segment lengths in
+// seg_lens. Returns total ops or -1 on overflow.
+int64_t dmt_global_align_multi(const char* q, const char* r,
+                               const int64_t* q_starts, const int64_t* q_ends,
+                               const int64_t* r_starts, const int64_t* r_ends,
+                               int64_t n_seg, char* ops_out, int64_t ops_cap,
+                               int64_t* seg_lens) {
+  int64_t off = 0;
+  for (int64_t s = 0; s < n_seg; ++s) {
+    const int na = (int)(q_ends[s] - q_starts[s]);
+    const int nb = (int)(r_ends[s] - r_starts[s]);
+    const int len = dmt_global_align(q + q_starts[s], na, r + r_starts[s], nb,
+                                     ops_out + off, (int)(ops_cap - off));
+    if (len < 0) return -1;
+    seg_lens[s] = len;
+    off += len;
+  }
+  return off;
+}
+
+// ---------------------------------------------------------------------------
+// Diagonal-band anchor chaining (align.minimizer._best_chain semantics for
+// one reference sequence): histogram diagonals into `band`-wide bins
+// (floor division), select the densest bin +-1 (ties -> smallest bin, like
+// np.argmax over sorted unique bins), report the strongest non-adjacent
+// 3-bin group as `second`, then greedily keep anchors with strictly
+// increasing (q, r) scanned in stable q order. Returns the kept count.
+int64_t dmt_chain_band(const int64_t* qpos, const int64_t* rpos, int64_t n,
+                       int64_t band, int64_t* keep_q, int64_t* keep_r,
+                       int64_t* second_out) {
+  *second_out = 0;
+  if (n == 0) return 0;
+  std::vector<int64_t> bins(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t diag = rpos[i] - qpos[i];
+    // floor division (numpy // semantics for negatives)
+    int64_t b = diag / band;
+    if ((diag % band != 0) && ((diag < 0) != (band < 0))) --b;
+    bins[i] = b;
+  }
+  std::vector<int64_t> uniq(bins);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  std::vector<int64_t> counts(uniq.size(), 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const size_t idx =
+        std::lower_bound(uniq.begin(), uniq.end(), bins[i]) - uniq.begin();
+    ++counts[idx];
+  }
+  size_t top_idx = 0;
+  for (size_t i = 1; i < uniq.size(); ++i)
+    if (counts[i] > counts[top_idx]) top_idx = i;
+  const int64_t top = uniq[top_idx];
+  auto count_of = [&](int64_t b) -> int64_t {
+    const size_t idx =
+        std::lower_bound(uniq.begin(), uniq.end(), b) - uniq.begin();
+    return (idx < uniq.size() && uniq[idx] == b) ? counts[idx] : 0;
+  };
+  int64_t second = 0;
+  for (size_t i = 0; i < uniq.size(); ++i) {
+    const int64_t b = uniq[i];
+    if (b >= top - 1 && b <= top + 1) continue;
+    const int64_t group = count_of(b - 1) + count_of(b) + count_of(b + 1);
+    if (group > second) second = group;
+  }
+  *second_out = second;
+  // anchors in the selected band, stable-sorted by q
+  std::vector<int64_t> sel;
+  sel.reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    if (bins[i] >= top - 1 && bins[i] <= top + 1) sel.push_back(i);
+  std::stable_sort(sel.begin(), sel.end(), [&](int64_t a, int64_t b2) {
+    return qpos[a] < qpos[b2];
+  });
+  int64_t kept = 0;
+  int64_t last_q = -1, last_r = -1;
+  for (const int64_t i : sel) {
+    if (rpos[i] > last_r && qpos[i] > last_q) {
+      keep_q[kept] = qpos[i];
+      keep_r[kept] = rpos[i];
+      ++kept;
+      last_q = qpos[i];
+      last_r = rpos[i];
+    }
+  }
+  return kept;
+}
+
 // ---------------------------------------------------------------------------
 // Minimizers: (k, w) with splitmix64-mixed 2-bit k-mer codes, identical to
 // deepmod_tpu.align.minimizer. Returns count; positions/hashes arrays must

@@ -67,6 +67,21 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_char), ctypes.c_int,
     ]
+    lib.dmt_global_align_multi.restype = ctypes.c_int64
+    lib.dmt_global_align_multi.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.dmt_chain_band.restype = ctypes.c_int64
+    lib.dmt_chain_band.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.dmt_minimizers.restype = ctypes.c_int64
     lib.dmt_minimizers.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -153,6 +168,80 @@ def global_align_ops_native(a: str, b: str) -> Optional[List[Tuple[str, int]]]:
         (chr(arr[bounds[i]]), int(bounds[i + 1] - bounds[i]))
         for i in range(len(bounds) - 1)
     ]
+
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def _rle_ops(arr: np.ndarray) -> List[Tuple[str, int]]:
+    """Run-length encode an op-byte array into [(op, count), ...]."""
+    n = len(arr)
+    if n == 0:
+        return []
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(arr[1:] != arr[:-1]) + 1, [n]]
+    )
+    return [
+        (chr(arr[bounds[i]]), int(bounds[i + 1] - bounds[i]))
+        for i in range(len(bounds) - 1)
+    ]
+
+
+def global_align_multi_native(
+    q: bytes,
+    r: bytes,
+    segments: np.ndarray,  # (n_seg, 4) int64 [q_start, q_end, r_start, r_end]
+) -> Optional[List[List[Tuple[str, int]]]]:
+    """All gap segments of one read in ONE native call; returns per-segment
+    op runs, or None if unavailable (caller falls back per segment)."""
+    lib = _load()
+    if lib is None:
+        return None
+    # columns must be CONTIGUOUS buffers (a column view of an (n, 4) array
+    # is strided and ctypes would hand C the raw base pointer)
+    segs = np.ascontiguousarray(np.asarray(segments, np.int64).T)
+    n_seg = segs.shape[1]
+    cap = int((segs[1] - segs[0]).sum() + (segs[3] - segs[2]).sum()) + 1
+    buf = np.empty(cap, np.uint8)
+    seg_lens = np.empty(n_seg, np.int64)
+    total = lib.dmt_global_align_multi(
+        q, r,
+        segs[0].ctypes.data_as(_I64P), segs[1].ctypes.data_as(_I64P),
+        segs[2].ctypes.data_as(_I64P), segs[3].ctypes.data_as(_I64P),
+        n_seg, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), cap,
+        seg_lens.ctypes.data_as(_I64P),
+    )
+    if total < 0:
+        return None
+    out = []
+    off = 0
+    for s in range(n_seg):
+        ln = int(seg_lens[s])
+        out.append(_rle_ops(buf[off : off + ln]))
+        off += ln
+    return out
+
+
+def chain_band_native(
+    qpos: np.ndarray, rpos: np.ndarray, band: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """(kept_q, kept_r, second_score) for one reference sequence's anchors,
+    matching align.minimizer._best_chain's per-rid semantics."""
+    lib = _load()
+    if lib is None:
+        return None
+    qp = np.ascontiguousarray(qpos, np.int64)
+    rp = np.ascontiguousarray(rpos, np.int64)
+    n = len(qp)
+    keep_q = np.empty(n, np.int64)
+    keep_r = np.empty(n, np.int64)
+    second = ctypes.c_int64(0)
+    kept = lib.dmt_chain_band(
+        qp.ctypes.data_as(_I64P), rp.ctypes.data_as(_I64P), n, band,
+        keep_q.ctypes.data_as(_I64P), keep_r.ctypes.data_as(_I64P),
+        ctypes.byref(second),
+    )
+    return keep_q[:kept], keep_r[:kept], int(second.value)
 
 
 def minimizers_native(

@@ -98,3 +98,57 @@ def test_native_aligner_end_to_end():
     read = genome["chrN"][7000:8500]
     recs = aligner.align({"r": read})
     assert len(recs) == 1 and abs(recs[0].pos - 1 - 7000) <= 64
+
+
+def test_native_chain_band_matches_python():
+    """dmt_chain_band == the Python _best_chain per-rid logic, including
+    negative diagonals, floor-division binning, and second-score groups."""
+    import deepmod_tpu.align.minimizer as mz
+    from deepmod_tpu.native.lib import chain_band_native
+
+    if not pytest.importorskip("deepmod_tpu.native.lib").native_available():
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        n = rng.randint(1, 60)
+        qpos = rng.randint(0, 3000, n).astype(np.int64)
+        rpos = rng.randint(0, 3000, n).astype(np.int64)
+        rid = np.zeros(n, np.int64)
+        native = chain_band_native(qpos, rpos, 500)
+        assert native is not None
+        saved = mz._native_chain
+        mz._native_chain = None
+        try:
+            chain = mz._best_chain(qpos, rid, rpos, "+")
+        finally:
+            mz._native_chain = saved
+        keep_q, keep_r, second = native
+        if chain is None:
+            assert len(keep_q) == 0
+            continue
+        np.testing.assert_array_equal(keep_q, chain.anchors_q)
+        np.testing.assert_array_equal(keep_r, chain.anchors_r)
+        assert second == chain.second_score, trial
+
+
+def test_native_align_multi_matches_per_segment():
+    """One batched native call == per-segment global_align_ops."""
+    from deepmod_tpu.align.dp import global_align_ops
+    from deepmod_tpu.native.lib import global_align_multi_native, native_available
+
+    if not native_available():
+        pytest.skip("native lib not built")
+    rng = np.random.RandomState(3)
+    q = "".join(rng.choice(list("ACGT"), 800))
+    r = "".join(rng.choice(list("ACGT"), 1200))
+    segs = []
+    for _ in range(25):
+        qs = rng.randint(0, 700)
+        qe = qs + rng.randint(0, 90)
+        rs = rng.randint(0, 1100)
+        re = rs + rng.randint(0, 90)
+        segs.append((qs, qe, rs, re))
+    got = global_align_multi_native(q.encode(), r.encode(), np.asarray(segs, np.int64))
+    assert got is not None
+    for (qs, qe, rs, re), ops in zip(segs, got):
+        assert ops == global_align_ops(q[qs:qe], r[rs:re])
