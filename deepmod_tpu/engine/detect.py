@@ -327,27 +327,19 @@ def _host_options(config: DetectConfig):
     )
 
 
-def consume_host_results(
-    results,  # List[HostReadResult]
-    config: DetectConfig,
-    predictor: WindowPredictor,
-    counts: CountsMap,
-    batch_id: int,
-    ct_folder: str,
-    timer=None,
-) -> Tuple[int, int, List[List[str]]]:
-    """Device inference + per-read outputs + aggregation for one batch."""
+def _nullstage(timer):
     import contextlib
 
-    from deepmod_tpu.aggregate.summarize import PositionCounts
-
-    stage = timer.stage if timer is not None else (
+    return timer.stage if timer is not None else (
         lambda name: contextlib.nullcontext()
     )
-    use_device_agg = config.device_aggregation and jax.device_count() > 1
-    batch_obs: Dict[Tuple[str, str], list] = {}
-    if not results:
-        return 0, 0, []
+
+
+def predict_batch_windows(
+    results, predictor: WindowPredictor, timer=None
+) -> np.ndarray:
+    """The DEVICE part of one batch: classify every read's windows."""
+    stage = _nullstage(timer)
     with stage("device_inference"):
         # concatenate compact feature blocks; window centers are absolute
         # rows (pad + i within each block)
@@ -360,8 +352,47 @@ def consume_host_results(
             centers.append(offset + pad + np.arange(r.n_aligned, dtype=np.int64))
             offset += len(r.features)
         all_centers = np.concatenate(centers)
-        preds = predictor.predict_from_features(all_features, all_centers)
+        return predictor.predict_from_features(all_features, all_centers)
 
+
+def consume_host_results(
+    results,  # List[HostReadResult]
+    config: DetectConfig,
+    predictor: WindowPredictor,
+    counts: CountsMap,
+    batch_id: int,
+    ct_folder: str,
+    timer=None,
+) -> Tuple[int, int, List[List[str]]]:
+    """Device inference + per-read outputs + aggregation for one batch."""
+    if not results:
+        return 0, 0, []
+    preds = predict_batch_windows(results, predictor, timer)
+    return apply_batch_outputs(
+        results, preds, config, counts, batch_id, ct_folder, timer
+    )
+
+
+def apply_batch_outputs(
+    results,  # List[HostReadResult]
+    preds: np.ndarray,
+    config: DetectConfig,
+    counts: CountsMap,
+    batch_id: int,
+    ct_folder: str,
+    timer=None,
+) -> Tuple[int, int, List[List[str]]]:
+    """The OUTPUT part of one batch: prediction scatter, per-read HDF5,
+    count accumulation. Runs off the device thread (the pipelined detect
+    paths overlap it with the next batch's inference); mutates ``counts``,
+    so at most one thread may run it at a time."""
+    from deepmod_tpu.aggregate.summarize import PositionCounts
+
+    stage = _nullstage(timer)
+    use_device_agg = config.device_aggregation and jax.device_count() > 1
+    batch_obs: Dict[Tuple[str, str], list] = {}
+    if not results:
+        return 0, 0, []
     index_entries: List[List[str]] = []
     pred_file = os.path.join(ct_folder, f"rnn.pred.detail.fast5.{batch_id}")
     offset = 0
@@ -591,12 +622,16 @@ def _detect_run_inner(
             mp_context=ctx,
             initializer=init_worker,
             initargs=(host_opts,),
-        ) as pool:
+        ) as pool, cf.ThreadPoolExecutor(max_workers=1) as writer:
             futures = {
                 pool.submit(host_process_files, batch): batch_id
                 for batch_id, batch in enumerate(batches)
                 if batch
             }
+            # outputs (scatter + gzip'd HDF5 + count accumulation) run in
+            # ONE writer thread so the main thread keeps the device fed;
+            # the single worker serializes all `counts` mutation
+            out_futs = []
             for fut in cf.as_completed(futures):
                 batch_id = futures[fut]
                 try:
@@ -609,10 +644,17 @@ def _detect_run_inner(
                     continue
                 for kind, paths in batch_errors.items():
                     errors.extend(kind, paths)
-                r, w, idx = consume_host_results(
-                    results, config, predictor, counts, batch_id,
-                    ct_folder_for(batch_id), timer,
+                if not results:
+                    continue
+                preds = predict_batch_windows(results, predictor, timer)
+                out_futs.append(
+                    writer.submit(
+                        apply_batch_outputs, results, preds, config, counts,
+                        batch_id, ct_folder_for(batch_id), timer,
+                    )
                 )
+            for of in out_futs:
+                r, w, idx = of.result()
                 n_reads += r
                 n_windows += w
                 all_index.extend(idx)
@@ -624,10 +666,12 @@ def _detect_run_inner(
 
         init_worker(host_opts)
         todo = [(batch_id, batch) for batch_id, batch in enumerate(batches) if batch]
-        with cf.ThreadPoolExecutor(max_workers=1) as prefetch:
+        with cf.ThreadPoolExecutor(max_workers=1) as prefetch, \
+                cf.ThreadPoolExecutor(max_workers=1) as writer:
             future = (
                 prefetch.submit(host_process_files, todo[0][1]) if todo else None
             )
+            out_futs = []
             for pos, (batch_id, batch) in enumerate(todo):
                 try:
                     with timer.stage("host_ingest_align_features"):
@@ -642,10 +686,17 @@ def _detect_run_inner(
                     future = prefetch.submit(host_process_files, todo[pos + 1][1])
                 for kind, paths in batch_errors.items():
                     errors.extend(kind, paths)
-                r, w, idx = consume_host_results(
-                    results, config, predictor, counts, batch_id,
-                    ct_folder_for(batch_id), timer,
+                if not results:
+                    continue
+                preds = predict_batch_windows(results, predictor, timer)
+                out_futs.append(
+                    writer.submit(
+                        apply_batch_outputs, results, preds, config, counts,
+                        batch_id, ct_folder_for(batch_id), timer,
+                    )
                 )
+            for of in out_futs:
+                r, w, idx = of.result()
                 n_reads += r
                 n_windows += w
                 all_index.extend(idx)
