@@ -86,6 +86,7 @@ def cmd_detect(args) -> int:
         precision=args.precision,
         trace_dir=args.trace,
         device_aggregation=bool(args.device_aggregation),
+        target_only=bool(args.targetOnly),
     )
     result = detect_run(config)
     print(
@@ -400,6 +401,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device_aggregation", type=int, default=0, choices=[0, 1],
         help="aggregate position counts on-device (psum over the mesh)",
+    )
+    p.add_argument(
+        "--targetOnly", type=int, default=0, choices=[0, 1],
+        help="classify only windows whose reference base is --Base "
+        "(~4x less device work; BED-identical, per-read files carry "
+        "mod_pred 0 on non-target rows)",
     )
     p.set_defaults(func=cmd_detect)
 

@@ -85,6 +85,11 @@ class DetectConfig:
     # mesh) instead of host bincount; needs >1 device and dense-sized
     # chromosomes — the multi-chip path where merges ride the ICI
     device_aggregation: bool = False
+    # classify only windows whose reference base IS the target (~4x less
+    # device work/transfer; BED-identical since summaries count only
+    # refbase==Base rows, but per-read files carry mod_pred 0 where the
+    # reference stores model outputs for non-target rows)
+    target_only: bool = False
 
 
 @dataclasses.dataclass
@@ -336,9 +341,17 @@ def _nullstage(timer):
 
 
 def predict_batch_windows(
-    results, predictor: WindowPredictor, timer=None
+    results, predictor: WindowPredictor, timer=None,
+    target_base: Optional[str] = None,
 ) -> np.ndarray:
-    """The DEVICE part of one batch: classify every read's windows."""
+    """The DEVICE part of one batch: classify every read's windows.
+
+    With ``target_base`` set (detect --targetOnly), only windows whose
+    reference base IS the target are classified — the BED summaries count
+    exclusively refbase==Base positions (sum_handler, myDetect.py:
+    1095-1100), so this is BED-identical at ~4x less device work and
+    transfer; non-target rows get mod_pred 0 in the per-read files
+    (where the reference stores their model outputs)."""
     stage = _nullstage(timer)
     with stage("device_inference"):
         # concatenate compact feature blocks; window centers are absolute
@@ -346,13 +359,34 @@ def predict_batch_windows(
         pad = 100
         blocks = [r.features for r in results]
         all_features = np.concatenate(blocks, axis=0)
+        selections = []  # per read: event indices to classify
         centers = []
         offset = 0
+        n_total = 0
         for r in results:
-            centers.append(offset + pad + np.arange(r.n_aligned, dtype=np.int64))
+            if target_base is None:
+                idx = np.arange(r.n_aligned, dtype=np.int64)
+            else:
+                nongap = r.base_map["readbase"] != "-"
+                idx = np.flatnonzero(
+                    (r.base_map["refbase"] == target_base)[nongap]
+                )
+            selections.append(idx)
+            centers.append(offset + pad + idx)
             offset += len(r.features)
+            n_total += r.n_aligned
         all_centers = np.concatenate(centers)
-        return predictor.predict_from_features(all_features, all_centers)
+        preds_sel = predictor.predict_from_features(all_features, all_centers)
+        if target_base is None:
+            return preds_sel
+        # scatter back to the all-events layout apply_batch_outputs expects
+        preds = np.zeros(n_total, np.int8)
+        out_off = sel_off = 0
+        for r, idx in zip(results, selections):
+            preds[out_off + idx] = preds_sel[sel_off : sel_off + len(idx)]
+            out_off += r.n_aligned
+            sel_off += len(idx)
+        return preds
 
 
 def consume_host_results(
@@ -367,7 +401,10 @@ def consume_host_results(
     """Device inference + per-read outputs + aggregation for one batch."""
     if not results:
         return 0, 0, []
-    preds = predict_batch_windows(results, predictor, timer)
+    preds = predict_batch_windows(
+        results, predictor, timer,
+        target_base=config.base if config.target_only else None,
+    )
     return apply_batch_outputs(
         results, preds, config, counts, batch_id, ct_folder, timer
     )
@@ -646,7 +683,10 @@ def _detect_run_inner(
                     errors.extend(kind, paths)
                 if not results:
                     continue
-                preds = predict_batch_windows(results, predictor, timer)
+                preds = predict_batch_windows(
+                    results, predictor, timer,
+                    target_base=config.base if config.target_only else None,
+                )
                 out_futs.append(
                     writer.submit(
                         apply_batch_outputs, results, preds, config, counts,
@@ -688,7 +728,10 @@ def _detect_run_inner(
                     errors.extend(kind, paths)
                 if not results:
                     continue
-                preds = predict_batch_windows(results, predictor, timer)
+                preds = predict_batch_windows(
+                    results, predictor, timer,
+                    target_base=config.base if config.target_only else None,
+                )
                 out_futs.append(
                     writer.submit(
                         apply_batch_outputs, results, preds, config, counts,

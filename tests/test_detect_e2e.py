@@ -302,3 +302,37 @@ def test_predictor_bf16_transfer_path(e2e):
     ).predict(windows)
     assert p16.shape == p32.shape
     np.testing.assert_array_equal(p16, p32)
+
+
+def test_target_only_beds_identical(e2e, tmp_path):
+    """--targetOnly classifies only refbase==Base windows; BEDs must be
+    byte-identical (summaries count only target rows) and per-read
+    mod_pred must agree on every target row."""
+    import dataclasses
+
+    out, genome, reads, det, result = e2e
+    cfg = dataclasses.replace(
+        det, out_folder=str(tmp_path / "tonly"), target_only=True,
+    )
+    res = detect_run(cfg)
+    assert res.num_reads == result.num_reads
+    for b1, b2 in zip(sorted(result.bed_files), sorted(res.bed_files)):
+        assert open(b1).read() == open(b2).read()
+    # per-read parity on target rows
+    full = sorted(glob.glob(os.path.join(
+        det.out_folder, det.file_id, "*", "rnn.pred.detail.fast5.*")))
+    tonly = sorted(glob.glob(os.path.join(
+        cfg.out_folder, cfg.file_id, "*", "rnn.pred.detail.fast5.*")))
+    assert full and len(full) == len(tonly)
+    n_checked = 0
+    for f1, f2 in zip(full, tonly):
+        with h5py.File(f1) as a, h5py.File(f2) as b:
+            for key in a["pred"]:
+                d1 = a["pred"][key]["predetail"][()]
+                d2 = b["pred"][key]["predetail"][()]
+                target = d1["refbase"] == det.base.encode()
+                np.testing.assert_array_equal(
+                    d1["mod_pred"][target], d2["mod_pred"][target]
+                )
+                n_checked += int(target.sum())
+    assert n_checked > 100
