@@ -67,7 +67,7 @@ def _layer_kernel(
     out_fw_ref, out_bw_ref,
     c_fw, h_fw, c_bw, h_bw,
     *, in_steps: int, out_steps: int, forget_bias: float,
-    reverse_bw_read: bool, seq_dtype=jnp.float32,
+    reverse_bw_read: bool, seq_dtype=jnp.float32, final: bool = False,
 ):
     c_fw[...] = jnp.zeros_like(c_fw)
     h_fw[...] = jnp.zeros_like(h_fw)
@@ -114,8 +114,21 @@ def _layer_kernel(
         c_fw[...] = nc_fw
         h_bw[...] = nh_bw
         c_bw[...] = nc_bw
-        out_fw_ref[pl.ds(t, 1), :, :] = nh_fw[None].astype(seq_dtype)
-        out_bw_ref[pl.ds(t, 1), :, :] = nh_bw[None].astype(seq_dtype)
+        if final:
+            # the LAST layer's sequence is never read back — only the
+            # center row leaves the kernel, cutting its HBM writes ~T/2x
+            if isinstance(t, int):
+                if t == out_steps - 1:
+                    out_fw_ref[0, :, :] = nh_fw.astype(seq_dtype)
+                    out_bw_ref[0, :, :] = nh_bw.astype(seq_dtype)
+            else:
+                @pl.when(t == out_steps - 1)
+                def _():
+                    out_fw_ref[0, :, :] = nh_fw.astype(seq_dtype)
+                    out_bw_ref[0, :, :] = nh_bw.astype(seq_dtype)
+        else:
+            out_fw_ref[pl.ds(t, 1), :, :] = nh_fw[None].astype(seq_dtype)
+            out_bw_ref[pl.ds(t, 1), :, :] = nh_bw[None].astype(seq_dtype)
         return 0
 
     # the center-only readout needs just steps 0..center of both lanes at
@@ -142,16 +155,19 @@ def _run_layer(
     tile_b: int,
     interpret: bool,
     seq_dtype=jnp.float32,
+    final: bool = False,
 ):
     wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw = weights
     in_steps = in_fw.shape[0]  # time-major: (T, B, LANE)
     batch_p = in_fw.shape[1]
     grid = (batch_p // tile_b,)
+    store_steps = 1 if final else out_steps
     in_spec = pl.BlockSpec(
         (in_steps, tile_b, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (out_steps, tile_b, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (store_steps, tile_b, LANE), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
     )
     w_spec = pl.BlockSpec((LANE, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -163,13 +179,14 @@ def _run_layer(
             forget_bias=forget_bias,
             reverse_bw_read=reverse_bw_read,
             seq_dtype=seq_dtype,
+            final=final,
         ),
         grid=grid,
         in_specs=[in_spec, in_spec, w_spec, w_spec, b_spec, w_spec, w_spec, b_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((out_steps, batch_p, LANE), seq_dtype),
-            jax.ShapeDtypeStruct((out_steps, batch_p, LANE), seq_dtype),
+            jax.ShapeDtypeStruct((store_steps, batch_p, LANE), seq_dtype),
+            jax.ShapeDtypeStruct((store_steps, batch_p, LANE), seq_dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_b, LANE), jnp.float32),
@@ -198,7 +215,9 @@ def bilstm_fused_center(
     num_hidden: int = 100,
     timesteps: int = 21,
     forget_bias: float = 1.0,
-    tile_b: int = 256,  # measured best on v5e (512 exceeds scoped VMEM)
+    tile_b: int | None = None,  # None: 256 bf16 / 128 fp32 (measured best
+                                # on v5e; fp32 at 256 or either at 512
+                                # exceeds the 16M scoped-VMEM limit)
     interpret: bool | None = None,
     precision: str = "fp32",
 ) -> jnp.ndarray:
@@ -212,6 +231,8 @@ def bilstm_fused_center(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seq_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    if tile_b is None:
+        tile_b = 256 if precision == "bf16" else 128
     batch, t, in_dim = x.shape
     assert t == timesteps
     batch_p = _round_up(max(batch, 1), tile_b)
@@ -240,18 +261,21 @@ def bilstm_fused_center(
         )
         b_fw = _pad_gate_blocks(jnp.asarray(lp_fw["bias"]), h)[None, :]
         b_bw = _pad_gate_blocks(jnp.asarray(lp_bw["bias"]), h)[None, :]
+        # odd-T: the final layer stores ONLY the center row (its sequence
+        # is never read back); even-T needs two different rows, keep all
+        final = (layer == num_layers - 1) and timesteps % 2 == 1
         in_fw, in_bw = _run_layer(
             in_fw, in_bw,
             (wx_fw, wh_fw, b_fw, wx_bw, wh_bw, b_bw),
             out_steps, forget_bias, reverse_bw_read, tile_b, interpret,
-            seq_dtype,
+            seq_dtype, final,
         )
         reverse_bw_read = False  # bw lane already reversed-layout
     center = timesteps // 2
     if timesteps % 2 == 1:
-        # buffers hold steps 0..center; the center is the last row
-        fw_c = in_fw[out_steps - 1, :batch, :h]
-        bw_c = in_bw[out_steps - 1, :batch, :h]
+        # the final layer stored only the center row
+        fw_c = in_fw[0, :batch, :h]
+        bw_c = in_bw[0, :batch, :h]
     else:
         fw_c = in_fw[center, :batch, :h]
         bw_c = in_bw[timesteps - 1 - center, :batch, :h]
