@@ -87,7 +87,17 @@ def main() -> None:
             )
             try:
                 rate = measure(fn, params, x, batch)
-            except Exception:
+            except Exception as exc:
+                # keep stdout to the one JSON line, but never hide a
+                # failing variant (a VMEM OOM hid here once)
+                import sys
+
+                print(
+                    f"bench variant pallas={use_pallas} {precision} "
+                    f"b{batch} failed: {type(exc).__name__}: "
+                    f"{str(exc)[:200]}",
+                    file=sys.stderr,
+                )
                 continue
             if rate > best:
                 best = rate

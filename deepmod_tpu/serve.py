@@ -31,7 +31,7 @@ class DetectService:
 
     def __init__(self, ref: str, model_path: str, base: str = "C",
                  align_str: str = "builtin", fnum: int = 7,
-                 window_size: int = 21):
+                 window_size: int = 21, precision: str = "bf16"):
         import jax
 
         from deepmod_tpu.engine.detect import WindowPredictor
@@ -43,7 +43,10 @@ class DetectService:
         import dataclasses
 
         model_config = dataclasses.replace(model_config, timesteps=window_size)
-        self.predictor = WindowPredictor(params, model_config)
+        # bf16 default matches detect: zero argmax flips measured on chip
+        # (docs/Validation.md); fp32 stays available for bit-parity
+        self.predictor = WindowPredictor(params, model_config,
+                                         precision=precision)
         self.model_path = model_path
         self.backend = jax.default_backend()
         self._host_opts = HostOptions(
@@ -156,9 +159,11 @@ def make_handler(service: DetectService):
 
 
 def serve(ref: str, model_path: str, port: int = 8765, host: str = "127.0.0.1",
-          base: str = "C", align_str: str = "builtin") -> ThreadingHTTPServer:
+          base: str = "C", align_str: str = "builtin",
+          precision: str = "bf16") -> ThreadingHTTPServer:
     """Build the warm service and return a ready (unstarted) HTTP server."""
-    service = DetectService(ref, model_path, base=base, align_str=align_str)
+    service = DetectService(ref, model_path, base=base, align_str=align_str,
+                            precision=precision)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     return server
 
@@ -173,9 +178,11 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--Base", default="C")
     parser.add_argument("--alignStr", default="builtin")
+    parser.add_argument("--precision", default="bf16",
+                        choices=["fp32", "bf16"])
     args = parser.parse_args(argv)
     server = serve(args.Ref, args.modfile, args.port, args.host, args.Base,
-                   args.alignStr)
+                   args.alignStr, precision=args.precision)
     print(f"deepmod_tpu serving on {args.host}:{args.port}", flush=True)
     server.serve_forever()
     return 0
