@@ -26,7 +26,7 @@ import struct
 import zlib
 from typing import Dict, Iterable, Iterator, Tuple
 
-from .sam import SamRecord, parse_sam_line, record_filter_status
+from .sam import SamRecord, filter_best_alignments, parse_sam_line
 
 _CIGAR_OPS = "MIDNSHP=X"
 _SEQ_CODES = "=ACMGRSVTWYHKDBN"
@@ -41,6 +41,43 @@ def _read_exact(fh, n: int) -> bytes:
             raise ValueError("truncated BAM stream")
         buf += chunk
     return buf
+
+
+_TAG_SIZES = {"A": 1, "c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+_ARRAY_SIZES = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+
+
+def _find_cg_tag(rec: bytes, off: int):
+    """Scan BAM aux data for the CG:B,I tag (real CIGAR ops); None if
+    absent or malformed."""
+    n = len(rec)
+    while off + 3 <= n:
+        tag = rec[off : off + 2]
+        val_type = chr(rec[off + 2])
+        off += 3
+        if val_type == "B":
+            if off + 5 > n:
+                return None
+            sub = chr(rec[off])
+            (count,) = struct.unpack_from("<i", rec, off + 1)
+            off += 5
+            width = _ARRAY_SIZES.get(sub)
+            if width is None:
+                return None
+            if tag == b"CG" and sub == "I":
+                return struct.unpack_from(f"<{count}I", rec, off)
+            off += width * count
+        elif val_type == "Z" or val_type == "H":
+            end = rec.find(b"\x00", off)
+            if end < 0:
+                return None
+            off = end + 1
+        else:
+            width = _TAG_SIZES.get(val_type)
+            if width is None:
+                return None
+            off += width
+    return None
 
 
 def iter_bam(path: str) -> Iterator[SamRecord]:
@@ -76,6 +113,20 @@ def iter_bam(path: str) -> Iterator[SamRecord]:
             off += l_read_name
             cigar_ops = struct.unpack_from(f"<{n_cigar}I", rec, off)
             off += 4 * n_cigar
+            # >65535-op CIGARs (ultra-long reads) are stored as a kSmN
+            # placeholder with the real ops in the CG:B,I tag (SAM spec
+            # §4.2); recover them or drop the record rather than garble it
+            if (
+                n_cigar == 2
+                and (cigar_ops[0] & 0xF) == 4   # S
+                and (cigar_ops[1] & 0xF) == 3   # N
+                and (cigar_ops[0] >> 4) == l_seq
+            ):
+                aux_off = off + (l_seq + 1) // 2 + l_seq
+                real = _find_cg_tag(rec, aux_off)
+                if real is None:
+                    continue
+                cigar_ops = real
             cigar = (
                 "".join(
                     f"{op >> 4}{_CIGAR_OPS[op & 0xF]}" for op in cigar_ops
@@ -126,14 +177,9 @@ class PrealignedAligner:
 
     def __init__(self, path: str):
         self.path = path
-        best: Dict[str, SamRecord] = {}
-        for rec in iter_alignment_file(path):
-            if record_filter_status(rec):
-                continue
-            prev = best.get(rec.qname)
-            if prev is None or prev.mapq < rec.mapq:
-                best[rec.qname] = rec
-        self._by_qname = best
+        # same best-mapq sanity filter as in-pipeline SAM; the iterator is
+        # lazy, so memory stays one record per read
+        self._by_qname = filter_best_alignments(iter_alignment_file(path))
 
     def align(self, reads: Dict[str, str]):
         """Return records for the requested read ids.
@@ -198,6 +244,19 @@ def _encode_record(rec: SamRecord, ref_ids: Dict[str, int]) -> bytes:
                 cigar_ops.append((num << 4) | _CIGAR_OPS.index(ch))
                 num = 0
     seq = rec.seq if rec.seq != "*" else ""
+    aux = b""
+    if len(cigar_ops) > 0xFFFF:
+        # n_cigar_op is uint16: store the kSmN placeholder + CG:B,I tag
+        # (SAM spec §4.2), like htslib does for ultra-long alignments
+        ref_len = sum(
+            op >> 4 for op in cigar_ops if _CIGAR_OPS[op & 0xF] in "MDN=X"
+        )
+        aux = (
+            b"CGBI"
+            + struct.pack("<i", len(cigar_ops))
+            + struct.pack(f"<{len(cigar_ops)}I", *cigar_ops)
+        )
+        cigar_ops = [(len(seq) << 4) | 4, (ref_len << 4) | 3]  # kS mN
     packed = bytearray((len(seq) + 1) // 2)
     for i, base in enumerate(seq):
         code = _SEQ_CODES.index(base) if base in _SEQ_CODES else 15
@@ -221,6 +280,7 @@ def _encode_record(rec: SamRecord, ref_ids: Dict[str, int]) -> bytes:
         + struct.pack(f"<{len(cigar_ops)}I", *cigar_ops)
         + bytes(packed)
         + b"\xff" * len(seq)
+        + aux
     )
     return struct.pack("<i", len(body)) + body
 

@@ -114,13 +114,16 @@ class MinimizerIndex:
         self.w = w
         self.max_hits = max_hits
         self.names: List[str] = list(seqs.keys())
-        self.seqs: List[str] = [seqs[n] for n in self.names]
+        # ONE copy of the genome per index, as bytes (the native DP reads
+        # bytes directly; the python fallback decodes tiny slices) — a
+        # parallel str list would double per-worker genome memory
+        self.seqs_b: List[bytes] = [seqs[n].encode() for n in self.names]
         # hash -> concatenated (rid, pos) hit lists, built via sorting
         all_hash = []
         all_rid = []
         all_pos = []
-        for rid, seq in enumerate(self.seqs):
-            pos, hsh = _minimizers(seq, k, w)
+        for rid, name in enumerate(self.names):
+            pos, hsh = _minimizers(seqs[name], k, w)
             all_hash.append(hsh)
             all_rid.append(np.full(len(pos), rid, np.int32))
             all_pos.append(pos.astype(np.int64))
@@ -237,14 +240,6 @@ class BuiltinAligner:
         self.index = index
         self.min_chain_anchors = min_chain_anchors
         self.tail_flank = tail_flank
-        self._ref_bytes_cache: Dict[int, bytes] = {}
-
-    def _ref_bytes(self, rid: int) -> bytes:
-        cached = self._ref_bytes_cache.get(rid)
-        if cached is None:
-            cached = self.index.seqs[rid].encode()
-            self._ref_bytes_cache[rid] = cached
-        return cached
 
     def map_read(self, name: str, seq: str) -> Optional[SamRecord]:
         k = self.index.k
@@ -270,7 +265,7 @@ class BuiltinAligner:
             mapq = 3
 
         oseq = oriented[chain.strand]
-        ref = self.index.seqs[chain.rid]
+        ref_b = self.index.seqs_b[chain.rid]
         # Two passes: collect fixed op runs interleaved with DP segments,
         # then run ALL the read's segments in ONE native call (per-call
         # ctypes marshalling dominates at the typical ~18 gaps/read).
@@ -317,7 +312,7 @@ class BuiltinAligner:
         soft_right = 0
         n_tail = len(oseq) - prev_q
         if n_tail:
-            tail_r_end = min(prev_r + n_tail, len(ref))
+            tail_r_end = min(prev_r + n_tail, len(ref_b))
             if tail_r_end > prev_r:
                 add_seg(prev_q, len(oseq), prev_r, tail_r_end)
             else:
@@ -326,12 +321,11 @@ class BuiltinAligner:
         seg_ops: Optional[List[List[Tuple[str, int]]]] = None
         if segs and _native_align_multi is not None:
             seg_ops = _native_align_multi(
-                oseq.encode(), self._ref_bytes(chain.rid),
-                np.asarray(segs, np.int64),
+                oseq.encode(), ref_b, np.asarray(segs, np.int64),
             )
         if seg_ops is None:
             seg_ops = [
-                global_align_ops(oseq[qs:qe], ref[rs:re])
+                global_align_ops(oseq[qs:qe], ref_b[rs:re].decode())
                 for qs, qe, rs, re in segs
             ]
         ops: List[Tuple[str, int]] = []

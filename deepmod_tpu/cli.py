@@ -15,6 +15,24 @@ import os
 import sys
 
 
+def _align_str(value: str) -> str:
+    """Validate --alignStr at PARSE time: a typo'd backend must fail here,
+    not inside spawn workers (where it would drain into per-batch errors
+    and yield a 'successful' empty run)."""
+    if value in ("bwa", "minimap2", "builtin", "auto"):
+        return value
+    if value.endswith((".sam", ".sam.gz", ".bam")):
+        if not os.path.isfile(value):
+            raise argparse.ArgumentTypeError(
+                f"alignment file not found: {value}"
+            )
+        return value
+    raise argparse.ArgumentTypeError(
+        f"{value!r}: expected bwa|minimap2|builtin|auto or a "
+        ".sam/.sam.gz/.bam path"
+    )
+
+
 def _common_flags(parser: argparse.ArgumentParser) -> None:
     # names/defaults from DeepMod.py:305-319
     parser.add_argument("--outLevel", type=int, default=2, choices=[0, 1, 2, 3])
@@ -26,7 +44,7 @@ def _common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--files_per_thread", type=int, default=1000)
     parser.add_argument("--windowsize", type=int, default=21)
     parser.add_argument(
-        "--alignStr", type=str, default="auto",
+        "--alignStr", type=_align_str, default="auto",
         help="bwa | minimap2 | builtin | auto, or a path to a pre-aligned "
         ".sam/.sam.gz/.bam to skip alignment (reference flag: DeepMod.py "
         "--alignStr, subprocess backends only)",
@@ -451,7 +469,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Ref", required=True)
     p.add_argument("--fasta", required=True)
     p.add_argument("--out", default=None)
-    p.add_argument("--alignStr", default="builtin")
+    p.add_argument("--alignStr", type=_align_str, default="builtin")
     p.set_defaults(func=cmd_align)
 
     p = sub.add_parser("serve", help="Long-lived detection HTTP service")
@@ -460,7 +478,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--Base", default="C")
-    p.add_argument("--alignStr", default="builtin")
+    p.add_argument("--alignStr", type=_align_str, default="builtin")
     p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("synth", help="Generate a synthetic test dataset")

@@ -398,7 +398,11 @@ def consume_host_results(
     ct_folder: str,
     timer=None,
 ) -> Tuple[int, int, List[List[str]]]:
-    """Device inference + per-read outputs + aggregation for one batch."""
+    """Synchronous one-shot: device inference + outputs for one batch.
+
+    The detect run paths inline the two halves to pipeline them through a
+    writer thread; this composition stays as the public API for library
+    users (serving-style callers) and must remain predict + apply."""
     if not results:
         return 0, 0, []
     preds = predict_batch_windows(
@@ -619,6 +623,15 @@ def _detect_run_inner(
     all_index: List[List[str]] = []
     n_reads = 0
     n_windows = 0
+    out_futs: List = []
+
+    def drain_outputs(limit: int) -> None:
+        nonlocal n_reads, n_windows
+        while len(out_futs) > limit:
+            r, w, idx = out_futs.pop(0).result()
+            n_reads += r
+            n_windows += w
+            all_index.extend(idx)
 
     from .host_worker import host_process_files, init_worker
 
@@ -668,7 +681,6 @@ def _detect_run_inner(
             # outputs (scatter + gzip'd HDF5 + count accumulation) run in
             # ONE writer thread so the main thread keeps the device fed;
             # the single worker serializes all `counts` mutation
-            out_futs = []
             for fut in cf.as_completed(futures):
                 batch_id = futures[fut]
                 try:
@@ -687,17 +699,17 @@ def _detect_run_inner(
                     results, predictor, timer,
                     target_base=config.base if config.target_only else None,
                 )
+                for r in results:
+                    r.features = None  # outputs never read them; frees
+                                       # the batch's largest allocation
                 out_futs.append(
                     writer.submit(
                         apply_batch_outputs, results, preds, config, counts,
                         batch_id, ct_folder_for(batch_id), timer,
                     )
                 )
-            for of in out_futs:
-                r, w, idx = of.result()
-                n_reads += r
-                n_windows += w
-                all_index.extend(idx)
+                drain_outputs(2)  # bound the writer backlog
+            drain_outputs(0)
     else:
         # single-process path still overlaps: a prefetch thread prepares
         # the NEXT batch's host work while the device consumes the current
@@ -711,7 +723,6 @@ def _detect_run_inner(
             future = (
                 prefetch.submit(host_process_files, todo[0][1]) if todo else None
             )
-            out_futs = []
             for pos, (batch_id, batch) in enumerate(todo):
                 try:
                     with timer.stage("host_ingest_align_features"):
@@ -732,17 +743,17 @@ def _detect_run_inner(
                     results, predictor, timer,
                     target_base=config.base if config.target_only else None,
                 )
+                for r in results:
+                    r.features = None  # outputs never read them; frees
+                                       # the batch's largest allocation
                 out_futs.append(
                     writer.submit(
                         apply_batch_outputs, results, preds, config, counts,
                         batch_id, ct_folder_for(batch_id), timer,
                     )
                 )
-            for of in out_futs:
-                r, w, idx = of.result()
-                n_reads += r
-                n_windows += w
-                all_index.extend(idx)
+                drain_outputs(2)  # bound the writer backlog
+            drain_outputs(0)
 
     if config.write_per_read:
         _write_index_files(all_index, config)

@@ -136,3 +136,21 @@ def test_detect_with_prealigned_bam_matches_inline(tmp_path):
     )
     for b1, b2 in zip(sorted(r1.bed_files), sorted(r2.bed_files)):
         assert open(b1).read() == open(b2).read()
+
+
+def test_bam_long_cigar_cg_tag(tmp_path):
+    """>65535-op CIGARs round-trip through the kSmN placeholder + CG:B,I
+    tag (SAM spec §4.2, the ultra-long-read convention)."""
+    from deepmod_tpu.align.alignfile import iter_bam, write_bam
+
+    n_ops = 70000
+    cigar = "1M1I" * (n_ops // 2)
+    seq = "A" * n_ops  # 1M+1I consumes 2 query bases per pair
+    rec = SamRecord("ultra", 0, "chrA", 11, 60, cigar, seq)
+    path = str(tmp_path / "long.bam")
+    write_bam(path, [("chrA", 10_000_000)], [rec])
+    got = list(iter_bam(path))
+    assert len(got) == 1
+    assert got[0].cigar == cigar
+    assert got[0].seq == seq
+    assert got[0].pos == 11
