@@ -241,9 +241,13 @@ def expand_alignment(
         else:
             new_lo, new_hi = ev_lo, ev_hi
     else:
-        rightclip += firstmatch
+        # SEQ is the reverse-complemented read: a trim at the SEQ-left
+        # (firstmatch) removes READ-RIGHT events, which pre-swap is the
+        # SEQ-left clip variable, and vice versa — the event-slice
+        # expressions below encode exactly this (ev_hi -= firstmatch)
+        leftclip += firstmatch
         if m_event_len - lastmatch > 1:
-            leftclip += m_event_len - lastmatch - 1
+            rightclip += m_event_len - lastmatch - 1
         if firstmatch > 0:
             new_lo = ev_lo + (m_event_len - 1 - lastmatch)
             new_hi = ev_hi - firstmatch

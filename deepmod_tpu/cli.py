@@ -113,6 +113,11 @@ def cmd_detect(args) -> int:
     )
     for kind, files in result.errors.items():
         print(f"  {kind}: {len(files)}")
+    if config.pred_det and result.num_reads == 0 and result.errors:
+        # every read failed (e.g. all batch workers died): exit non-zero
+        # instead of masquerading as a successful empty run
+        print("detect FAILED: zero reads processed", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scale demo: 30x-coverage end-to-end detect on a 1 Mbp genome.
+
+Generates (once) a ~2.4 GB synthetic dataset of 4000 long reads with a
+CG-motif signal shift, then runs the full detect pipeline — host
+ingest+align+features in spawn workers, BiLSTM classification on the
+device, predetail HDF5 + BED outputs — and prints one JSON line per run.
+
+Reference headline for the same shape of job (docs/Reproducibility.md:
+26,30): ~41 min for a 30x E. coli (4.6 Mbp) run on 15 CPU threads, i.e.
+~9 min/Mbp-of-genome at 30x.
+
+Usage: python scripts/bench_scale.py [--dataset DIR] [--threads N]
+       [--target-only] [--keep]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="/tmp/dmt_scale")
+    ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--reads", type=int, default=4000)
+    ap.add_argument("--genome-mbp", type=float, default=1.0)
+    ap.add_argument("--target-only", action="store_true")
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+
+    from deepmod_tpu.engine.detect import (
+        DetectConfig, WindowPredictor, detect_run,
+    )
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+    from deepmod_tpu.models.tf_import import save_bilstm_npz
+
+    ds = args.dataset
+    if not os.path.isdir(os.path.join(ds, "fast5")):
+        from deepmod_tpu.testing import generate_dataset
+        from deepmod_tpu.testing.synthetic import SynthConfig
+
+        t0 = time.time()
+        generate_dataset(ds, SynthConfig(
+            genome_sizes={"chr1": int(args.genome_mbp * 1_000_000)},
+            num_reads=args.reads,
+            read_length=(5000, 10000),
+            seed=42,
+            mod_motif="CG",
+            mod_level_shift=1.2,
+        ))
+        print(f"generated dataset in {time.time()-t0:.0f}s", flush=True)
+
+    mc = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), mc)
+    model_path = os.path.join(ds, "model.npz")
+    save_bilstm_npz(model_path, params, mc)
+    predictor = WindowPredictor(params, mc, precision="bf16")
+    cfg = DetectConfig(
+        wrk_base=os.path.join(ds, "fast5"),
+        ref=os.path.join(ds, "ref.fa"),
+        model_path=model_path,
+        out_folder=os.path.join(ds, "out"),
+        file_id="mod", base="C",
+        threads=args.threads,
+        files_per_batch=250,
+        target_only=args.target_only,
+    )
+    for i in range(args.runs):
+        run_cfg = dataclasses.replace(
+            cfg, out_folder=os.path.join(ds, f"out_{i}")
+        )
+        t0 = time.time()
+        r = detect_run(run_cfg, predictor)
+        dt = time.time() - t0
+        print(json.dumps({
+            "metric": "detect_scale_windows_per_s",
+            "value": round(r.num_windows / dt, 1),
+            "unit": "windows/s",
+            "run": i,
+            "reads": r.num_reads,
+            "windows": r.num_windows,
+            "wall_s": round(dt, 1),
+            "threads": args.threads,
+            "target_only": args.target_only,
+            "backend": jax.default_backend(),
+            "stages": {k: round(v, 1) for k, v in sorted(r.stage_seconds.items())},
+            "beds": len(r.bed_files),
+            "errors": {k: len(v) for k, v in r.errors.items()},
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -112,9 +112,13 @@ def _reference_walk(refseq, readseq, pos, cigar, strand, num_events):
         else:
             ev_lo2, ev_hi2 = ev_lo, ev_hi
     else:
-        rightclip += firstmatch
+        # SEQ-left trims remove READ-RIGHT events (SEQ is the revcomp'd
+        # read), so firstmatch grows the SEQ-left clip variable — after
+        # the strand swap below it lands on the read-right clip, matching
+        # ev_hi2 = ev_hi - firstmatch
+        leftclip += firstmatch
         if m_event_len - lastmatch > 1:
-            leftclip += m_event_len - lastmatch - 1
+            rightclip += m_event_len - lastmatch - 1
         if firstmatch > 0:
             ev_lo2 = ev_lo + (m_event_len - 1 - lastmatch)
             ev_hi2 = ev_hi - firstmatch
@@ -247,9 +251,47 @@ def test_expand_alignment_matches_reference_walk():
         assert got.left_clip == want["left_clip"], (cigar, strand)
         assert got.right_clip == want["right_clip"], (cigar, strand)
         assert got.event_slice == want["event_slice"], (cigar, strand)
+        # clips are READ-oriented and must agree with the event slice —
+        # the feature builder indexes events [left_clip, n - right_clip)
+        assert got.event_slice == (
+            got.left_clip, num_events - got.right_clip
+        ), (cigar, strand)
         assert got.first_match_pos == want["first_match_pos"]
         assert got.num_mismatch == want["num_mismatch"]
         assert got.num_insert == want["num_insert"]
         assert got.num_del == want["num_del"]
         tested += 1
     assert tested > 100  # most random cases must be valid
+
+
+def test_minus_strand_leading_mismatch_feature_build():
+    """Regression: a minus-strand alignment whose FIRST SEQ base is a
+    mismatch (firstmatch=1) used to get its trim charged to the wrong
+    clip side, so build_feature_matrix rejected the read ('Error Does
+    not match'); 2.5% of reads in a 4000-read synthetic run failed."""
+    import numpy as np
+
+    from deepmod_tpu.features.builder import build_feature_matrix
+    from deepmod_tpu.io.events import EVENT_DTYPE
+    from deepmod_tpu.utils.common import reverse_complement
+
+    rng = np.random.RandomState(0)
+    read = "".join(rng.choice(list("ACGT"), 200))
+    seq = reverse_complement(read)
+    ref = "A" + seq[1:] if seq[0] != "A" else "C" + seq[1:]  # SEQ[0] mismatch
+    bmr = expand_alignment(
+        ref, seq, 0, f"{len(seq)}M", "-", "chrT", 200, min_events=0
+    )
+    # read-right clip must carry the trimmed leading SEQ mismatch
+    assert (bmr.left_clip, bmr.right_clip) == (0, 1)
+    m_event = np.zeros(200, EVENT_DTYPE)
+    m_event["model_state"] = [
+        ("NN" + read[i] + "NN") for i in range(200)
+    ]
+    m_event["start"] = np.arange(200, dtype=np.uint64)
+    m_event["length"] = np.ones(200, np.uint64)
+    mfeat, sc, ec = build_feature_matrix(
+        m_event, np.zeros(220), read, bmr, fnum=7
+    )
+    assert (sc, ec) == (0, 1)
+    assert len(mfeat) == 200 - 1 + 200  # n_aligned + 2*pad
