@@ -73,13 +73,11 @@ class PositionCounts:
         modded_pos: np.ndarray,
     ) -> None:
         if self.dense:
+            # np.add.at touches only the hit positions; a bincount here
+            # would allocate a full-chromosome temporary per read
             self.seen[seen_pos] = True
-            self.coverage += np.bincount(
-                covered_pos, minlength=self.length
-            ).astype(np.int32)
-            self.mod_count += np.bincount(
-                modded_pos, minlength=self.length
-            ).astype(np.int32)
+            np.add.at(self.coverage, covered_pos, 1)
+            np.add.at(self.mod_count, modded_pos, 1)
             return
         for pos, field in ((seen_pos, 2), (covered_pos, 0), (modded_pos, 1)):
             if len(pos) == 0:
@@ -104,13 +102,23 @@ class PositionCounts:
 
     def merge(self, other: "PositionCounts") -> None:
         if self.dense and other.dense:
-            n = min(self.length, other.length)
             if other.length > self.length:
                 self._grow(other.length)
             self.coverage[: other.length] += other.coverage
             self.mod_count[: other.length] += other.mod_count
             self.seen[: other.length] |= other.seen
             return
+        if not self.dense and not other.dense:
+            # chunk-wise vector adds — this is the multi-worker reduction,
+            # a per-position python loop here costs minutes per chromosome
+            for cid, (cov, mod, seen) in other._chunks.items():
+                dcov, dmod, dseen = self._chunk(cid)
+                dcov += cov
+                dmod += mod
+                dseen |= seen
+            return
+        # mixed dense/chunked (different DENSE_LIMIT classification can
+        # only happen across versions; handle it via the generic path)
         for pos, cov, mod in other.iter_seen():
             arr = np.asarray([pos])
             self.add(arr, np.repeat(arr, cov), np.repeat(arr, mod))

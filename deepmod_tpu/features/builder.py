@@ -9,12 +9,12 @@ Row layout (one row per event ie in [start_clip-100, L-end_clip+100)):
     cols 1..2            : neg/pos labels (always 0 at detect time)
     [fnum=57: cols 3..52 : 50-bin histogram of the event's normalized
                            signal, bin width 0.2 over [-5, 5)]
-    cols fnum-1..fnum+2  : ref-base one-hot A,C,G,T (aligned rows only)
-    cols fnum..fnum+2    : event mean, stdv, length
-
-(The one-hot sits at absolute columns fnum-4+3..fnum-1+3 and the
-mean/stdv/length at fnum+3-3..; both exactly match the index arithmetic
-at myDetect.py:894-900.)
+    cols fnum-4..fnum-1  : ref-base one-hot A,C,G,T (aligned rows only)
+                           (reference index fnum-3+3-4+g_ACGT.index,
+                           myDetect.py:896 — absolute 3..6 for fnum=7,
+                           53..56 for fnum=57)
+    cols fnum..fnum+2    : event mean, stdv, length (cur_index_add =
+                           fnum-3+3, myDetect.py:898-900)
 
 The +-100-row context pad gives every aligned event a full 21-row window
 (myDetect.py:794,855); windows are a zero-copy strided view.
@@ -111,7 +111,7 @@ def build_feature_matrix(
     ref_codes = ref_at_aligned.view(np.uint32)  # U1 codepoints
     for base, idx in BASE_TO_INDEX.items():
         hit = arows[ref_codes == ord(base)]
-        mfeatures[hit, fnum - 4 + 3 + idx] = 1.0
+        mfeatures[hit, fnum - 4 + idx] = 1.0
 
     # signal-derived columns for every in-range event
     mfeatures[vrows, fnum + 0] = m_event["mean"][vie]

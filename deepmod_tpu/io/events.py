@@ -60,8 +60,10 @@ def collapse_events_v1(
     move0_left = int(nonstay[0])
     move0_right = int(nonstay[-1])
     # reference walks inward from both tails and rejects reads whose
-    # non-stay span is too short (myDetect.py:168-180)
-    if move0_left > move0_right - 20:
+    # non-stay span is too short (myDetect.py:168-180); the LEFT check
+    # compares against the UNTRIMMED right end (move0_right is still n-1
+    # there), which decides the attributed error class
+    if move0_left > (n - 1) - 20:
         raise EventError("Remove too many bases on left")
     if move0_right < move0_left + 20:
         raise EventError("Remove too many bases on right")

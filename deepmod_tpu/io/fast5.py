@@ -171,7 +171,12 @@ def read_fast5_file(
             except Exception as exc:
                 raise EventError("No events data") from exc
             if version_class == 1:
-                start_time = int(raw_attributes.get("start_time", 0))
+                if "start_time" not in raw_attributes:
+                    # reference reads it unconditionally in the v1 path
+                    # (myDetect.py:182-183) and a missing attr lands in
+                    # the generic open-error class via KeyError
+                    raise EventError("Cannot open fast5 or other errors")
+                start_time = int(raw_attributes["start_time"])
                 m_event, skip = collapse_events_v1(
                     events_data, sampling_rate, start_time
                 )
@@ -293,7 +298,9 @@ def _ingest_read_group(group, options: Fast5ReadOptions, path: str) -> Fast5Read
         except Exception as exc:
             raise EventError("No events data") from exc
         if version_class == 1:
-            start_time = int(raw_attributes.get("start_time", 0))
+            if "start_time" not in raw_attributes:
+                raise EventError("Cannot open fast5 or other errors")
+            start_time = int(raw_attributes["start_time"])
             m_event, skip = collapse_events_v1(
                 events_data, sampling_rate, start_time
             )
@@ -318,6 +325,19 @@ def _ingest_read_group(group, options: Fast5ReadOptions, path: str) -> Fast5Read
         left_right_skip=skip,
         albacore_version=version,
     )
+
+
+def _peek_version(path: str, options: "Fast5ReadOptions") -> Optional[str]:
+    """Basecaller version attr of a read that failed ingestion, if
+    readable (for the version census)."""
+    import h5py
+
+    try:
+        with h5py.File(path, "r") as f5:
+            base_path = f"/Analyses/{options.basecall_1d}"
+            return _decode(f5[base_path].attrs.get("version", "0.0"))
+    except Exception:
+        return None
 
 
 def read_fast5_batch(
@@ -370,6 +390,13 @@ def read_fast5_batch(
                 read = read_fast5_file(path, options)
             except (EventError, SignalRangeError) as exc:
                 errors.add(str(exc), path)
+                # the reference censuses the version of every file whose
+                # attrs were readable, including reads that later fail
+                # (myDetect.py:363-365)
+                if version_census is not None:
+                    v = _peek_version(path, options)
+                    if v is not None:
+                        version_census[v] = version_census.get(v, 0) + 1
                 continue
             except Exception:
                 errors.add("Cannot open fast5 or other errors", path)

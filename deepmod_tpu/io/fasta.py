@@ -33,6 +33,7 @@ def build_fai_index(fasta_path: str, fai_path: str | None = None) -> Dict[str, T
         linebases = 0
         linewidth = 0
         first_line = True
+        prev_short = False
         offset = 0
         for raw in fh:
             line = raw.rstrip(b"\r\n")
@@ -44,12 +45,24 @@ def build_fai_index(fasta_path: str, fai_path: str | None = None) -> Dict[str, T
                 seq_len = 0
                 seq_offset = offset + len(raw)
                 first_line = True
+                prev_short = False
             elif name is not None and line:
                 if first_line:
                     linebases = len(line)
                     linewidth = len(raw)
                     first_line = False
+                elif len(line) > linebases or prev_short:
+                    # non-uniform line lengths break the offset arithmetic
+                    # fetch() relies on; samtools faidx refuses such files
+                    # too — fail loudly instead of returning shifted bases
+                    raise ValueError(
+                        f"{fasta_path}: record {name!r} has non-uniform "
+                        "line lengths; cannot build a .fai index"
+                    )
+                prev_short = len(line) < linebases
                 seq_len += len(line)
+            elif name is not None and not line and not first_line:
+                prev_short = True  # blank line inside a record
             offset += len(raw)
         if name is not None:
             index[name] = (seq_len, seq_offset, linebases, linewidth)

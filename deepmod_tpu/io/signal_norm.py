@@ -61,7 +61,15 @@ def event_mean_std(
     Replicates myDetect.py:332-343 (round to 3 decimals) including its
     out-of-range handling: if an event's slice is empty, the event table
     is truncated there when the offending index is > 500, else the read
-    is rejected (reference marks 'Less event'). Returns (m_event, n_valid).
+    is rejected as 'Less event'. Returns (m_event, n_valid).
+
+    Deliberate deviation: the reference's rejection line is
+    ``sp_param['f5status']=="Less event"`` (myDetect.py:340) — a
+    comparison, not an assignment — so it actually KEEPS such reads and
+    processes them with stale un-normalized means for every event from
+    the empty slice onward. That is a bug, not behavior worth
+    byte-matching; here the read is rejected, which is what the
+    surrounding raiseError calls do for every comparable condition.
     """
     starts = m_event["start"].astype(np.int64)
     lengths = m_event["length"].astype(np.int64)

@@ -83,7 +83,7 @@ herr_t first_link_cb(hid_t, const char* name, const void*, void* op_data) {
 struct Fast5Data {
   int status = 0;  // 0 ok; negative = error code
   double sampling_rate = 0;
-  long long raw_start_time = 0;
+  long long raw_start_time = -1;  // -1 = attr absent (v1 path rejects)
   std::string version;
   std::string fastq;
   std::vector<double> signal;

@@ -202,6 +202,10 @@ def read_fast5_native(path: str, options=None):
             events["model_state"] = states
             events["move"] = move
             if version_class == 1:
+                if start_time < 0:
+                    # attr absent: the h5py path (and the reference, via
+                    # KeyError) reject such v1 reads
+                    raise EventError("Cannot open fast5 or other errors")
                 m_event, skip = collapse_events_v1(
                     events, sampling_rate, start_time
                 )

@@ -178,3 +178,47 @@ for rec in aligner.align(reads):
     assert got[0].pos == expected[0].pos
     assert got[0].cigar == expected[0].cigar
     assert got[0].strand == expected[0].strand
+
+
+def test_feature_matrix_column_layout_matches_reference():
+    """Pin the reference's column arithmetic (myDetect.py:894-900):
+    one-hot at ABSOLUTE cols fnum-4..fnum-1, mean/stdv/length at
+    fnum..fnum+2 — a +3 shift here once clobbered the C/G/T flags with
+    the signal columns and went unnoticed because train and detect used
+    the same (broken) layout."""
+    import numpy as np
+
+    from deepmod_tpu.align.cigar import expand_alignment
+    from deepmod_tpu.features.builder import build_feature_matrix
+    from deepmod_tpu.io.events import EVENT_DTYPE
+
+    read = "ACGT" * 25
+    for fnum in (7, 57):
+        bmr = expand_alignment(
+            read, read, 0, "100M", "+", "chrT", 100, min_events=0
+        )
+        m_event = np.zeros(100, EVENT_DTYPE)
+        m_event["model_state"] = ["NN" + b + "NN" for b in read]
+        m_event["mean"] = 5.25
+        m_event["stdv"] = 0.5
+        m_event["length"] = 7
+        m_event["start"] = np.arange(100, dtype=np.uint64)
+        mfeat, sc, ec = build_feature_matrix(
+            m_event, np.full(200, 0.125), read, bmr, fnum=fnum
+        )
+        assert mfeat.shape[1] == fnum + 3
+        pad = 100
+        for i, base_idx in enumerate([0, 1, 2, 3]):  # A, C, G, T rows
+            row = mfeat[pad + i]
+            onehot = row[fnum - 4 : fnum]
+            assert list(onehot) == [
+                1.0 if j == base_idx else 0.0 for j in range(4)
+            ], (fnum, i)
+            assert row[fnum] == 5.25       # mean
+            assert row[fnum + 1] == 0.5    # stdv
+            assert row[fnum + 2] == 7.0    # length
+        if fnum == 57:
+            # histogram occupies cols 3..52: events cover signal 0.125
+            # -> bin int((0.125+5)/0.2)=25 -> col 28
+            assert mfeat[pad, 28] == 7.0
+            assert mfeat[pad, 3:53].sum() == 7.0
