@@ -26,6 +26,8 @@ import struct
 import zlib
 from typing import Dict, Iterable, Iterator, Tuple
 
+import numpy as np
+
 from .sam import SamRecord, filter_best_alignments, parse_sam_line
 
 _CIGAR_OPS = "MIDNSHP=X"
@@ -133,6 +135,13 @@ def iter_bam(path: str) -> Iterator[SamRecord]:
                 )
                 or "*"
             )
+            # BAM's op nibble order IS cigar._OPS order, so the packed runs
+            # are already the pre-parsed arrays expand_alignment wants
+            if cigar_ops:
+                packed = np.asarray(cigar_ops, np.int64)
+                cigar_arrays = (packed >> 4, packed & 0xF)
+            else:
+                cigar_arrays = None
             n_seq_bytes = (l_seq + 1) // 2
             seq_packed = rec[off : off + n_seq_bytes]
             seq_chars = []
@@ -148,6 +157,7 @@ def iter_bam(path: str) -> Iterator[SamRecord]:
                 mapq=mapq,
                 cigar=cigar,
                 seq=seq,
+                cigar_arrays=cigar_arrays,
             )
 
 
@@ -204,6 +214,7 @@ class PrealignedAligner:
                         mapq=rec.mapq,
                         cigar=rec.cigar,
                         seq=rec.seq,
+                        cigar_arrays=rec.cigar_arrays,
                     )
                 )
         return out

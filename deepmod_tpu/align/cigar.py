@@ -48,6 +48,25 @@ _M, _I, _D, _N, _S, _H, _P, _EQ, _X = range(9)
 
 _DASH = ord("-")
 
+# per-op boolean lookup tables (indexed by op code) — one fancy-index
+# replaces a sort-based np.isin per category
+_LUT_CONSUMES_READ = np.zeros(9, bool)
+_LUT_CONSUMES_READ[[_M, _I, _S, _EQ, _X]] = True
+_LUT_CONSUMES_REF = np.zeros(9, bool)
+_LUT_CONSUMES_REF[[_M, _D, _N, _EQ, _X]] = True
+_LUT_MAKES_ROW = np.zeros(9, bool)
+_LUT_MAKES_ROW[[_M, _I, _D, _N, _EQ, _X]] = True
+_LUT_ROW_HAS_READ = np.zeros(9, bool)
+_LUT_ROW_HAS_READ[[_M, _I, _EQ, _X]] = True
+_LUT_ROW_HAS_REF = np.zeros(9, bool)
+_LUT_ROW_HAS_REF[[_M, _D, _N, _EQ, _X]] = True
+
+
+def _codes_to_u1(codes: np.ndarray) -> np.ndarray:
+    """uint8 ASCII codes -> U1 array via codepoint widening (no per-item
+    string casting)."""
+    return np.ascontiguousarray(codes.astype(np.uint32)).view("<U1")
+
 
 @dataclasses.dataclass
 class BaseMapResult:
@@ -165,6 +184,7 @@ def expand_alignment(
     num_events: int,
     min_events: int = 50,
     cpg_canonicalize: bool = True,
+    cigar_arrays=None,
 ) -> BaseMapResult:
     """Expand one filtered SAM record into the strand-oriented base map.
 
@@ -172,10 +192,13 @@ def expand_alignment(
     is the length of the read's m_event array; ``min_events`` is 50 for
     detect (myDetect.py:702) and 500 for getfeatures
     (myGetFeatureBasedPos.py:318). Event clipping is returned as a slice
-    into the event array rather than a copy.
+    into the event array rather than a copy. ``cigar_arrays`` is an
+    optional pre-parsed (nums, op_codes) pair (SamRecord.cigar_arrays)
+    that skips the string parse.
     """
+    parsed = cigar_arrays if cigar_arrays is not None else parse_cigar(cigar)
     nums, ops, pos, leftclip, rightclip, rstart, rstop = _strip_clips(
-        *parse_cigar(cigar), pos0, len(readseq)
+        *parsed, pos0, len(readseq)
     )
     read_codes_full = np.frombuffer(readseq.encode(), np.uint8)[rstart:rstop]
     ref_codes_full = np.frombuffer(refseq.encode(), np.uint8)
@@ -190,18 +213,18 @@ def expand_alignment(
 
     # --- vectorized walk -------------------------------------------------
     op_arr = np.repeat(ops, nums)
-    consumes_read = np.isin(op_arr, (_M, _I, _S, _EQ, _X))
-    consumes_ref = np.isin(op_arr, (_M, _D, _N, _EQ, _X))
+    consumes_read = _LUT_CONSUMES_READ[op_arr]
+    consumes_ref = _LUT_CONSUMES_REF[op_arr]
     read_idx = np.cumsum(consumes_read) - consumes_read  # exclusive prefix
     ref_idx = pos + np.cumsum(consumes_ref) - consumes_ref
 
-    makes_row = np.isin(op_arr, (_M, _I, _D, _N, _EQ, _X))
+    makes_row = _LUT_MAKES_ROW[op_arr]
     row_ops = op_arr[makes_row]
     row_read_idx = read_idx[makes_row]
     row_ref_idx = ref_idx[makes_row]
 
-    row_has_read = np.isin(row_ops, (_M, _I, _EQ, _X))
-    row_has_ref = np.isin(row_ops, (_M, _D, _N, _EQ, _X))
+    row_has_read = _LUT_ROW_HAS_READ[row_ops]
+    row_has_ref = _LUT_ROW_HAS_REF[row_ops]
     read_col = np.where(
         row_has_read,
         read_codes_full[np.minimum(row_read_idx, len(read_codes_full) - 1)],
@@ -286,8 +309,8 @@ def expand_alignment(
         )
 
     base_map = np.empty(len(ref_col), dtype=BASE_MAP_DTYPE)
-    base_map["refbase"] = ref_col.view("S1").astype("U1")
-    base_map["readbase"] = read_col.view("S1").astype("U1")
+    base_map["refbase"] = _codes_to_u1(ref_col)
+    base_map["readbase"] = _codes_to_u1(read_col)
     base_map["refbasei"] = row_ref_idx.astype(np.uint64)
     base_map["readbasei"] = row_read_idx.astype(np.uint64)
     base_map["mod_pred"] = 0

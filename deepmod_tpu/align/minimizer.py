@@ -25,19 +25,27 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from deepmod_tpu.utils.common import reverse_complement
-from .dp import global_align_ops, merge_ops, ops_to_cigar
+from .cigar import _OP_INDEX
+from .dp import global_align_ops
 
 try:
     from deepmod_tpu.native.lib import minimizers_native as _native_minimizers
     from deepmod_tpu.native.lib import chain_band_native as _native_chain
     from deepmod_tpu.native.lib import (
-        global_align_multi_native as _native_align_multi,
+        global_align_multi_bytes as _native_align_multi,
     )
 except Exception:  # pragma: no cover
     _native_minimizers = None
     _native_chain = None
     _native_align_multi = None
 from .sam import SamRecord
+
+_M_BYTE = ord("M")
+_S_BYTE = ord("S")
+# op byte -> cigar._OPS index, for attaching pre-parsed runs to SamRecord
+_OP_BYTE_TO_INDEX = np.zeros(256, np.int64)
+for _op, _idx in _OP_INDEX.items():
+    _OP_BYTE_TO_INDEX[ord(_op)] = _idx
 
 _BASE_CODE = np.full(256, 255, np.uint8)
 for _i, _b in enumerate("ACGT"):
@@ -266,10 +274,10 @@ class BuiltinAligner:
 
         oseq = oriented[chain.strand]
         ref_b = self.index.seqs_b[chain.rid]
-        # Two passes: collect fixed op runs interleaved with DP segments,
+        # Two passes: collect fixed M runs interleaved with DP segments,
         # then run ALL the read's segments in ONE native call (per-call
         # ctypes marshalling dominates at the typical ~18 gaps/read).
-        plan: List[Tuple[str, object]] = []  # ("ops", [(op,n)]) | ("seg", i)
+        plan: List[Tuple[str, int]] = []  # ("M", run_len) | ("seg", i)
         segs: List[Tuple[int, int, int, int]] = []
 
         def add_seg(qs: int, qe: int, rs: int, re: int) -> None:
@@ -299,12 +307,12 @@ class BuiltinAligner:
             aq, ar = int(aq), int(ar)
             dq, dr = aq - prev_q, ar - prev_r
             if dq == dr:
-                plan.append(("ops", [("M", dq)]))
+                plan.append(("M", dq))
             else:
                 add_seg(prev_q, aq, prev_r, ar)
             prev_q, prev_r = aq, ar
         # last anchor's k-mer is an exact match
-        plan.append(("ops", [("M", k)]))
+        plan.append(("M", k))
         prev_q += k
         prev_r += k
 
@@ -318,27 +326,56 @@ class BuiltinAligner:
             else:
                 soft_right = n_tail
 
-        seg_ops: Optional[List[List[Tuple[str, int]]]] = None
+        # per-column op bytes for every DP segment, as one flat buffer
+        seg_bytes: List[np.ndarray]
+        raw = None
         if segs and _native_align_multi is not None:
-            seg_ops = _native_align_multi(
+            raw = _native_align_multi(
                 oseq.encode(), ref_b, np.asarray(segs, np.int64),
             )
-        if seg_ops is None:
-            seg_ops = [
-                global_align_ops(oseq[qs:qe], ref_b[rs:re].decode())
-                for qs, qe, rs, re in segs
+        if raw is not None:
+            buf, seg_lens = raw
+            offs = np.concatenate([[0], np.cumsum(seg_lens)])
+            seg_bytes = [
+                buf[offs[i] : offs[i + 1]] for i in range(len(segs))
             ]
-        ops: List[Tuple[str, int]] = []
-        for kind, val in plan:
-            ops.extend(seg_ops[val] if kind == "seg" else val)  # type: ignore[index,arg-type]
+        else:
+            seg_bytes = []
+            for qs, qe, rs, re in segs:
+                runs = global_align_ops(oseq[qs:qe], ref_b[rs:re].decode())
+                if runs:
+                    chars = np.frombuffer(
+                        "".join(op for op, _ in runs).encode(), np.uint8
+                    )
+                    counts = np.asarray([c for _, c in runs], np.int64)
+                    seg_bytes.append(np.repeat(chars, counts))
+                else:
+                    seg_bytes.append(np.empty(0, np.uint8))
 
-        full_ops: List[Tuple[str, int]] = []
+        # stitch per-column ops in plan order, then run-length encode ONCE;
+        # the runs double as the pre-parsed cigar arrays handed downstream
+        # (expand_alignment skips its regex re-parse)
+        pieces: List[np.ndarray] = []
         if soft_left:
-            full_ops.append(("S", soft_left))
-        full_ops.extend(ops)
+            pieces.append(np.full(soft_left, _S_BYTE, np.uint8))
+        for kind, val in plan:
+            if kind == "seg":
+                pieces.append(seg_bytes[val])
+            else:
+                pieces.append(np.full(val, _M_BYTE, np.uint8))
         if soft_right:
-            full_ops.append(("S", soft_right))
-        cigar = ops_to_cigar(merge_ops(full_ops))
+            pieces.append(np.full(soft_right, _S_BYTE, np.uint8))
+        op_arr = np.concatenate(pieces)
+        n_cols = len(op_arr)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(op_arr[1:] != op_arr[:-1]) + 1, [n_cols]]
+        )
+        nums = np.diff(bounds).astype(np.int64)
+        op_run_bytes = op_arr[bounds[:-1]]
+        cigar = "".join(
+            f"{c}{ch}"
+            for c, ch in zip(nums.tolist(), op_run_bytes.tobytes().decode())
+        )
 
         return SamRecord(
             qname=name,
@@ -348,4 +385,5 @@ class BuiltinAligner:
             mapq=mapq,
             cigar=cigar,
             seq=oseq,
+            cigar_arrays=(nums, _OP_BYTE_TO_INDEX[op_run_bytes]),
         )

@@ -9,7 +9,7 @@ myGetFeatureBasedPos.py:541-559).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable, Optional, Tuple
 
 
 @dataclasses.dataclass
@@ -21,6 +21,12 @@ class SamRecord:
     mapq: int
     cigar: str
     seq: str
+    # optional pre-parsed (nums, op_codes) int64 arrays in cigar._OPS
+    # order; producers that already hold the runs (built-in aligner, BAM
+    # reader) attach them so expand_alignment can skip the string re-parse
+    cigar_arrays: Optional[Tuple] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def is_reverse(self) -> bool:

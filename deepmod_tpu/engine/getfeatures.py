@@ -219,6 +219,7 @@ def _gf_process_batch(batch_id: int, batch: List[str]):
                 refseq, rec.seq, pos0, rec.cigar, rec.strand, rec.rname,
                 len(read.m_event), min_events=500,
                 cpg_canonicalize=(label_opts.motif == "CG"),
+                cigar_arrays=rec.cigar_arrays,
             )
             mfeat = build_labeled_features(
                 read.m_event, read.raw_signals, read.basecall, bmr,

@@ -146,6 +146,7 @@ def host_process_files(
                 refseq, rec.seq, pos0, rec.cigar, rec.strand, rec.rname,
                 len(read.m_event), min_events=opts.min_events,
                 cpg_canonicalize=opts.cpg_canonicalize,
+                cigar_arrays=rec.cigar_arrays,
             )
             mfeat, start_clip, end_clip = build_feature_matrix(
                 read.m_event, read.raw_signals, read.basecall, bmr,

@@ -187,13 +187,14 @@ def _rle_ops(arr: np.ndarray) -> List[Tuple[str, int]]:
     ]
 
 
-def global_align_multi_native(
+def global_align_multi_bytes(
     q: bytes,
     r: bytes,
     segments: np.ndarray,  # (n_seg, 4) int64 [q_start, q_end, r_start, r_end]
-) -> Optional[List[List[Tuple[str, int]]]]:
-    """All gap segments of one read in ONE native call; returns per-segment
-    op runs, or None if unavailable (caller falls back per segment)."""
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """All gap segments of one read in ONE native call; returns the raw
+    per-column op bytes (concatenated) plus per-segment lengths, or None
+    if unavailable (caller falls back per segment)."""
     lib = _load()
     if lib is None:
         return None
@@ -213,12 +214,24 @@ def global_align_multi_native(
     )
     if total < 0:
         return None
+    return buf[:total], seg_lens
+
+
+def global_align_multi_native(
+    q: bytes,
+    r: bytes,
+    segments: np.ndarray,  # (n_seg, 4) int64 [q_start, q_end, r_start, r_end]
+) -> Optional[List[List[Tuple[str, int]]]]:
+    """Like global_align_multi_bytes but run-length encoded per segment."""
+    raw = global_align_multi_bytes(q, r, segments)
+    if raw is None:
+        return None
+    buf, seg_lens = raw
     out = []
     off = 0
-    for s in range(n_seg):
-        ln = int(seg_lens[s])
-        out.append(_rle_ops(buf[off : off + ln]))
-        off += ln
+    for ln in seg_lens:
+        out.append(_rle_ops(buf[off : off + int(ln)]))
+        off += int(ln)
     return out
 
 

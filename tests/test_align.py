@@ -104,6 +104,10 @@ def test_align_exact_forward(genome, aligner):
     nums, ops = parse_cigar(rec.cigar)
     consumed = nums[np.isin(ops, [0, 7, 8, 1, 4])].sum()  # M,=,X,I,S
     assert consumed == len(read)
+    # attached pre-parsed runs must equal the string parse
+    assert rec.cigar_arrays is not None
+    np.testing.assert_array_equal(rec.cigar_arrays[0], nums)
+    np.testing.assert_array_equal(rec.cigar_arrays[1], ops)
 
 
 def test_align_reverse_strand(genome, aligner):

@@ -38,7 +38,15 @@ def test_bam_roundtrip(tmp_path):
     want = [r for r in RECORDS if not r.flag & 0x900]
     assert len(got) == len(want)
     for g, w in zip(got, want):
-        assert dataclasses.asdict(g) == dataclasses.asdict(w)
+        # dataclass equality (cigar_arrays is compare=False metadata)
+        assert g == w
+        # the attached pre-parsed runs must agree with the cigar string
+        if g.cigar_arrays is not None:
+            from deepmod_tpu.align.cigar import parse_cigar
+
+            nums, ops = parse_cigar(g.cigar)
+            np.testing.assert_array_equal(g.cigar_arrays[0], nums)
+            np.testing.assert_array_equal(g.cigar_arrays[1], ops)
 
 
 def test_bam_multiblock(tmp_path):
