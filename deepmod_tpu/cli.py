@@ -113,6 +113,13 @@ def cmd_detect(args) -> int:
     )
     for kind, files in result.errors.items():
         print(f"  {kind}: {len(files)}")
+    if args.outLevel <= 0 and result.stage_seconds:
+        # per-stage breakdown at DEBUG, like the reference's elapsed-time
+        # prints (myDetect.py:349-384, 982)
+        for name, secs in sorted(
+            result.stage_seconds.items(), key=lambda kv: -kv[1]
+        ):
+            print(f"  stage {name}: {secs:.2f}s")
     if config.pred_det and result.num_reads == 0 and result.errors:
         # every read failed (e.g. all batch workers died): exit non-zero
         # instead of masquerading as a successful empty run
@@ -542,6 +549,17 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _print_parameters(args) -> None:
+    """Startup config dump, like the reference's printParameters
+    (DeepMod.py:36-42): one right-aligned 'key: value' line per option."""
+    print("%30s: %s" % ("Current directory", os.getcwd()))
+    for key in sorted(vars(args)):
+        if key == "func":
+            continue
+        print("%30s: %s" % (key, vars(args)[key]))
+    sys.stdout.flush()
+
+
 def main(argv=None) -> int:
     # persistent XLA compilation cache (set DMT_COMPILE_CACHE=<dir>);
     # first compiles in this environment can take minutes, cached reruns
@@ -557,6 +575,10 @@ def main(argv=None) -> int:
     if not getattr(args, "command", None):
         parser.print_help()
         return 0
+    # reference parity: dump the full option set at startup when the
+    # output level asks for INFO or more (OUTPUT_INFO=1, myCom.py:5-8)
+    if getattr(args, "outLevel", 2) <= 1:
+        _print_parameters(args)
     return args.func(args)
 
 
