@@ -561,15 +561,26 @@ def _print_parameters(args) -> None:
 
 
 def main(argv=None) -> int:
-    # persistent XLA compilation cache (set DMT_COMPILE_CACHE=<dir>);
-    # first compiles in this environment can take minutes, cached reruns
-    # are instant
-    cache_dir = os.environ.get("DMT_COMPILE_CACHE")
+    # persistent XLA compilation cache: ON by default (TPU compiles can
+    # take minutes; cached reruns are instant). DMT_COMPILE_CACHE=<dir>
+    # overrides the location, DMT_COMPILE_CACHE= (empty) disables.
+    cache_dir = os.environ.get(
+        "DMT_COMPILE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "deepmod_tpu", "xla"
+        ),
+    )
     if cache_dir:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except OSError:
+            pass  # unwritable cache location: run uncached
     parser = build_parser()
     args = parser.parse_args(argv)
     if not getattr(args, "command", None):

@@ -243,6 +243,11 @@ def test_align_high_error_reads(genome, aligner):
             recs = aligner.align({"e": read})
             if recs and abs((recs[0].pos - 1) - start) <= 150:
                 ok += 1
+            if recs and recs[0].cigar_arrays is not None:
+                # pre-parsed runs == string parse, even on messy CIGARs
+                nums, ops = parse_cigar(recs[0].cigar)
+                np.testing.assert_array_equal(recs[0].cigar_arrays[0], nums)
+                np.testing.assert_array_equal(recs[0].cigar_arrays[1], ops)
         assert ok >= 9, f"err={err}: only {ok}/10 mapped"
 
 
