@@ -274,73 +274,63 @@ class BuiltinAligner:
 
         oseq = oriented[chain.strand]
         ref_b = self.index.seqs_b[chain.rid]
-        # Two passes: collect fixed M runs interleaved with DP segments,
-        # then run ALL the read's segments in ONE native call (per-call
-        # ctypes marshalling dominates at the typical ~18 gaps/read).
-        plan: List[Tuple[str, int]] = []  # ("M", run_len) | ("seg", i)
-        segs: List[Tuple[int, int, int, int]] = []
+        # The alignment is a sequence of PIECES: exact-match M runs between
+        # same-diagonal anchors, interleaved with DP segments (anchor gaps
+        # + read tails), optionally bracketed by soft clips. All segments
+        # run in ONE native DP call (per-call ctypes marshalling dominates
+        # at the typical ~18 gaps/read) and the piece layout is computed
+        # with vectorized numpy — no per-anchor Python loop.
+        aq = chain.anchors_q
+        ar = chain.anchors_r
+        q0 = int(aq[0])
+        r0 = int(ar[0])
+        dq = np.diff(aq)
+        body_is_seg = dq != np.diff(ar)
+        n_body = len(dq)
+        n_body_segs = int(body_is_seg.sum())
 
-        def add_seg(qs: int, qe: int, rs: int, re: int) -> None:
-            plan.append(("seg", len(segs)))
-            segs.append((qs, qe, rs, re))
-
-        q0 = int(chain.anchors_q[0])
-        r0 = int(chain.anchors_r[0])
         # left tail: align the read head against the same-length ref window
         # ending at the first anchor (any overhang becomes leading I ops,
         # which downstream clip-stripping absorbs)
         soft_left = 0
-        if q0:
-            head_r_start = r0 - min(q0, r0)
-            if r0 > head_r_start:
-                add_seg(0, q0, head_r_start, r0)
-                map_start = head_r_start
-            else:
-                soft_left = q0
-                map_start = r0
-        else:
-            map_start = r0
+        head_r_start = r0 - min(q0, r0)
+        head_seg = bool(q0) and r0 > head_r_start
+        if q0 and not head_seg:
+            soft_left = q0
+        map_start = head_r_start if head_seg else r0
 
-        # chain body
-        prev_q, prev_r = q0, r0
-        for aq, ar in zip(chain.anchors_q[1:], chain.anchors_r[1:]):
-            aq, ar = int(aq), int(ar)
-            dq, dr = aq - prev_q, ar - prev_r
-            if dq == dr:
-                plan.append(("M", dq))
-            else:
-                add_seg(prev_q, aq, prev_r, ar)
-            prev_q, prev_r = aq, ar
-        # last anchor's k-mer is an exact match
-        plan.append(("M", k))
-        prev_q += k
-        prev_r += k
-
-        # right tail
+        # right tail (the last anchor's k-mer is an exact match)
+        last_q = int(aq[-1]) + k
+        last_r = int(ar[-1]) + k
         soft_right = 0
-        n_tail = len(oseq) - prev_q
-        if n_tail:
-            tail_r_end = min(prev_r + n_tail, len(ref_b))
-            if tail_r_end > prev_r:
-                add_seg(prev_q, len(oseq), prev_r, tail_r_end)
-            else:
-                soft_right = n_tail
+        n_tail = len(oseq) - last_q
+        tail_r_end = min(last_r + n_tail, len(ref_b))
+        tail_seg = bool(n_tail) and tail_r_end > last_r
+        if n_tail and not tail_seg:
+            soft_right = n_tail
+
+        # DP segments in piece order: head, body gaps, tail
+        segs = np.empty((n_body_segs + head_seg + tail_seg, 4), np.int64)
+        si = 0
+        if head_seg:
+            segs[0] = (0, q0, head_r_start, r0)
+            si = 1
+        segs[si : si + n_body_segs, 0] = aq[:-1][body_is_seg]
+        segs[si : si + n_body_segs, 1] = aq[1:][body_is_seg]
+        segs[si : si + n_body_segs, 2] = ar[:-1][body_is_seg]
+        segs[si : si + n_body_segs, 3] = ar[1:][body_is_seg]
+        if tail_seg:
+            segs[-1] = (last_q, len(oseq), last_r, tail_r_end)
 
         # per-column op bytes for every DP segment, as one flat buffer
-        seg_bytes: List[np.ndarray]
         raw = None
-        if segs and _native_align_multi is not None:
-            raw = _native_align_multi(
-                oseq.encode(), ref_b, np.asarray(segs, np.int64),
-            )
+        if len(segs) and _native_align_multi is not None:
+            raw = _native_align_multi(oseq.encode(), ref_b, segs)
         if raw is not None:
             buf, seg_lens = raw
-            offs = np.concatenate([[0], np.cumsum(seg_lens)])
-            seg_bytes = [
-                buf[offs[i] : offs[i + 1]] for i in range(len(segs))
-            ]
+            seg_lens = np.asarray(seg_lens, np.int64)
         else:
-            seg_bytes = []
+            seg_parts: List[np.ndarray] = []
             for qs, qe, rs, re in segs:
                 runs = global_align_ops(oseq[qs:qe], ref_b[rs:re].decode())
                 if runs:
@@ -348,25 +338,70 @@ class BuiltinAligner:
                         "".join(op for op, _ in runs).encode(), np.uint8
                     )
                     counts = np.asarray([c for _, c in runs], np.int64)
-                    seg_bytes.append(np.repeat(chars, counts))
+                    seg_parts.append(np.repeat(chars, counts))
                 else:
-                    seg_bytes.append(np.empty(0, np.uint8))
+                    seg_parts.append(np.empty(0, np.uint8))
+            buf = (
+                np.concatenate(seg_parts)
+                if seg_parts
+                else np.empty(0, np.uint8)
+            )
+            seg_lens = np.asarray([len(b) for b in seg_parts], np.int64)
 
-        # stitch per-column ops in plan order, then run-length encode ONCE;
-        # the runs double as the pre-parsed cigar arrays handed downstream
-        # (expand_alignment skips its regex re-parse)
-        pieces: List[np.ndarray] = []
+        # piece table: [soft_left?] [head seg?] body(M|seg)* M(k)
+        #              [tail seg? | soft_right?]
+        n_pieces = (
+            (1 if (soft_left or head_seg) else 0) + n_body + 1
+            + (1 if (soft_right or tail_seg) else 0)
+        )
+        piece_len = np.zeros(n_pieces, np.int64)
+        piece_byte = np.full(n_pieces, _M_BYTE, np.uint8)
+        piece_is_seg = np.zeros(n_pieces, bool)
+        p = 0
         if soft_left:
-            pieces.append(np.full(soft_left, _S_BYTE, np.uint8))
-        for kind, val in plan:
-            if kind == "seg":
-                pieces.append(seg_bytes[val])
-            else:
-                pieces.append(np.full(val, _M_BYTE, np.uint8))
+            piece_len[0] = soft_left
+            piece_byte[0] = _S_BYTE
+            p = 1
+        elif head_seg:
+            piece_is_seg[0] = True
+            p = 1
+        body = slice(p, p + n_body)
+        piece_is_seg[body] = body_is_seg
+        piece_len[body] = np.where(body_is_seg, 0, dq)
+        p += n_body
+        piece_len[p] = k
+        p += 1
         if soft_right:
-            pieces.append(np.full(soft_right, _S_BYTE, np.uint8))
-        op_arr = np.concatenate(pieces)
-        n_cols = len(op_arr)
+            piece_len[p] = soft_right
+            piece_byte[p] = _S_BYTE
+        elif tail_seg:
+            piece_is_seg[p] = True
+        piece_len[piece_is_seg] = seg_lens
+
+        # stitch per-column ops in piece order (ragged-range fills), then
+        # run-length encode ONCE; the runs double as the pre-parsed cigar
+        # arrays handed downstream (expand_alignment skips its regex
+        # re-parse)
+        offsets = np.empty(n_pieces + 1, np.int64)
+        offsets[0] = 0
+        np.cumsum(piece_len, out=offsets[1:])
+        n_cols = int(offsets[-1])
+        op_arr = np.empty(n_cols, np.uint8)
+        cmask = ~piece_is_seg
+        clens = piece_len[cmask]
+        cidx = (
+            np.arange(int(clens.sum()))
+            - np.repeat(np.cumsum(clens) - clens, clens)
+            + np.repeat(offsets[:-1][cmask], clens)
+        )
+        op_arr[cidx] = np.repeat(piece_byte[cmask], clens)
+        if len(seg_lens):
+            sidx = (
+                np.arange(int(seg_lens.sum()))
+                - np.repeat(np.cumsum(seg_lens) - seg_lens, seg_lens)
+                + np.repeat(offsets[:-1][piece_is_seg], seg_lens)
+            )
+            op_arr[sidx] = buf
         bounds = np.concatenate(
             [[0], np.flatnonzero(op_arr[1:] != op_arr[:-1]) + 1, [n_cols]]
         )
