@@ -204,6 +204,177 @@ def _run_layer(
     return out_fw, out_bw
 
 
+def _mono_kernel(
+    x_ref,
+    *rest,
+    num_layers: int,
+    in_steps: int,
+    out_steps: int,
+    forget_bias: float,
+    seq_dtype=jnp.float32,
+):
+    """All layers in ONE kernel: inter-layer sequences never leave VMEM.
+
+    rest = 6*num_layers weight refs, 2 output refs (center rows), then
+    scratch: c_fw, h_fw, c_bw, h_bw, and 4 sequence ping-pong buffers.
+    """
+    w_refs = rest[: 6 * num_layers]
+    out_fw_ref, out_bw_ref = rest[6 * num_layers : 6 * num_layers + 2]
+    c_fw, h_fw, c_bw, h_bw, sfw_a, sbw_a, sfw_b, sbw_b = rest[6 * num_layers + 2 :]
+
+    if seq_dtype == jnp.bfloat16:
+        def sigmoid(x):
+            return 0.5 * jnp.tanh(0.5 * x) + 0.5
+    else:
+        sigmoid = jax.nn.sigmoid
+
+    def cell(x_t, h, c, wx_ref, wh_ref, b_ref):
+        gates = (
+            jnp.dot(x_t, wx_ref[...], preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(seq_dtype), wh_ref[...],
+                      preferred_element_type=jnp.float32)
+            + b_ref[...].astype(jnp.float32)
+        )
+        i = gates[:, 0 * LANE : 1 * LANE]
+        j = gates[:, 1 * LANE : 2 * LANE]
+        f = gates[:, 2 * LANE : 3 * LANE]
+        o = gates[:, 3 * LANE : 4 * LANE]
+        new_c = c * sigmoid(f + forget_bias) + sigmoid(i) * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * sigmoid(o)
+        return new_h, new_c
+
+    src_fw, src_bw = None, None  # layer 0 reads x_ref directly
+    dst_fw, dst_bw = sfw_a, sbw_a
+    for layer in range(num_layers):
+        wx_fw_ref, wh_fw_ref, b_fw_ref, wx_bw_ref, wh_bw_ref, b_bw_ref = (
+            w_refs[6 * layer : 6 * layer + 6]
+        )
+        c_fw[...] = jnp.zeros_like(c_fw)
+        h_fw[...] = jnp.zeros_like(h_fw)
+        c_bw[...] = jnp.zeros_like(c_bw)
+        h_bw[...] = jnp.zeros_like(h_bw)
+        final = layer == num_layers - 1
+        # out_steps <= 32 always (T//2+1 for T=21 is 11): static unroll
+        for t in range(out_steps):
+            if layer == 0:
+                x_fw = x_ref[t]
+                x_bw = x_ref[in_steps - 1 - t]
+            else:
+                x_fw = src_fw[t]
+                x_bw = src_bw[t]
+            nh_fw, nc_fw = cell(x_fw, h_fw[...], c_fw[...],
+                                wx_fw_ref, wh_fw_ref, b_fw_ref)
+            nh_bw, nc_bw = cell(x_bw, h_bw[...], c_bw[...],
+                                wx_bw_ref, wh_bw_ref, b_bw_ref)
+            h_fw[...] = nh_fw
+            c_fw[...] = nc_fw
+            h_bw[...] = nh_bw
+            c_bw[...] = nc_bw
+            if final:
+                if t == out_steps - 1:  # only the center row leaves VMEM
+                    out_fw_ref[0, :, :] = nh_fw.astype(seq_dtype)
+                    out_bw_ref[0, :, :] = nh_bw.astype(seq_dtype)
+            else:
+                dst_fw[t] = nh_fw.astype(seq_dtype)
+                dst_bw[t] = nh_bw.astype(seq_dtype)
+        src_fw, src_bw = dst_fw, dst_bw
+        dst_fw, dst_bw = (sfw_b, sbw_b) if layer % 2 == 0 else (sfw_a, sbw_a)
+
+
+@functools.partial(jax.jit, static_argnames=("num_layers", "num_hidden",
+                                             "timesteps", "forget_bias",
+                                             "tile_b", "interpret",
+                                             "precision"))
+def bilstm_fused_center_mono(
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    num_layers: int = 3,
+    num_hidden: int = 100,
+    timesteps: int = 21,
+    forget_bias: float = 1.0,
+    tile_b: int | None = None,
+    interpret: bool | None = None,
+    precision: str = "fp32",
+) -> jnp.ndarray:
+    """(B, T, F) -> (B, 2H) center features, whole stack in ONE kernel.
+
+    Odd T only (the readout-cone truncation makes every layer's useful
+    sequence exactly steps 0..T//2 of each lane). Inter-layer sequences
+    live in VMEM scratch, so HBM traffic per window is one (T, F) input
+    read plus one (2H,) center write — nothing else.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert timesteps % 2 == 1, "mono kernel requires odd T"
+    seq_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    if tile_b is None:
+        # measured on v5e (scripts/probe_mono.py): bf16 384 > 512 > 256;
+        # fp32 128 > 256 (the mono kernel's smaller VMEM footprint admits
+        # tiles the layered kernel OOMs at)
+        tile_b = 384 if precision == "bf16" else 128
+    batch, t, in_dim = x.shape
+    assert t == timesteps
+    h = num_hidden
+    batch_p = _round_up(max(batch, 1), tile_b)
+    out_steps = timesteps // 2 + 1
+
+    x_pad = jnp.pad(
+        x.astype(seq_dtype),
+        ((0, batch_p - batch), (0, 0), (0, LANE - in_dim)),
+    )
+    x_pad = jnp.moveaxis(x_pad, 1, 0)  # time-major (T, B, LANE)
+
+    w_args = []
+    for layer in range(num_layers):
+        cur_in = in_dim if layer == 0 else h
+        for lane in ("fw", "bw"):
+            lp = params[lane][layer]
+            wx, wh = _pad_weights(
+                jnp.asarray(lp["kernel"]).astype(seq_dtype), cur_in, h
+            )
+            b = _pad_gate_blocks(jnp.asarray(lp["bias"]), h)[None, :]
+            w_args.extend([wx, wh, b])
+
+    grid = (batch_p // tile_b,)
+    in_spec = pl.BlockSpec(
+        (timesteps, tile_b, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec((LANE, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, tile_b, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    state_scratch = pltpu.VMEM((tile_b, LANE), jnp.float32)
+    seq_scratch = pltpu.VMEM((out_steps, tile_b, LANE), seq_dtype)
+    out_fw, out_bw = pl.pallas_call(
+        functools.partial(
+            _mono_kernel,
+            num_layers=num_layers,
+            in_steps=timesteps,
+            out_steps=out_steps,
+            forget_bias=forget_bias,
+            seq_dtype=seq_dtype,
+        ),
+        grid=grid,
+        in_specs=[in_spec] + [w_spec, w_spec, b_spec] * (2 * num_layers),
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, batch_p, LANE), seq_dtype),
+            jax.ShapeDtypeStruct((1, batch_p, LANE), seq_dtype),
+        ),
+        scratch_shapes=[state_scratch] * 4 + [seq_scratch] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * 2 * num_layers * batch_p * out_steps * LANE * GATES,
+            bytes_accessed=2 * batch_p * timesteps * LANE,
+            transcendentals=10 * num_layers * batch_p * out_steps * LANE,
+        ),
+        interpret=interpret,
+    )(x_pad, *w_args)
+    fw_c = out_fw[0, :batch, :h]
+    bw_c = out_bw[0, :batch, :h]
+    return jnp.concatenate([fw_c, bw_c], axis=-1).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_layers", "num_hidden",
                                              "timesteps", "forget_bias",
                                              "tile_b", "interpret",
@@ -227,7 +398,18 @@ def bilstm_fused_center(
     bfloat16 (matmuls still accumulate fp32, cell state stays fp32) —
     roughly halves HBM traffic and doubles MXU rate at a small accuracy
     cost; fp32 is bit-compatible with the XLA scan path.
+
+    Odd T routes through the mono kernel (whole stack in one pallas_call,
+    inter-layer sequences VMEM-resident) — bit-identical to the layered
+    kernel and measured faster (scripts/probe_mono.py: +1% bf16, +6%
+    fp32). Even T keeps the per-layer kernels.
     """
+    if timesteps % 2 == 1 and tile_b is None:
+        return bilstm_fused_center_mono(
+            params, x, num_layers=num_layers, num_hidden=num_hidden,
+            timesteps=timesteps, forget_bias=forget_bias,
+            interpret=interpret, precision=precision,
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     seq_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32

@@ -199,6 +199,52 @@ def test_fused_pallas_bf16_close_to_fp32(small_setup):
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
 
 
+def test_mono_kernel_bit_identical_to_layered(small_setup):
+    """Whole-stack mono kernel (one pallas_call, VMEM inter-layer
+    sequences) must be BIT-identical to the per-layer kernel in both
+    precisions — same cell math, same order, only the buffering moved."""
+    config, params, x = small_setup
+    from deepmod_tpu.ops.bilstm_fused import (
+        bilstm_fused_center,
+        bilstm_fused_center_mono,
+    )
+
+    for precision in ("fp32", "bf16"):
+        got = np.asarray(
+            bilstm_fused_center_mono(
+                params, jnp.asarray(x), tile_b=8, interpret=True,
+                precision=precision,
+            )
+        )
+        want = np.asarray(
+            bilstm_fused_center(
+                params, jnp.asarray(x), tile_b=8, interpret=True,
+                precision=precision,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("timesteps,num_layers", [(21, 1), (11, 3), (5, 2)])
+def test_mono_kernel_odd_depths(timesteps, num_layers):
+    from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center_mono
+    from deepmod_tpu.models.bilstm import bilstm_center_features
+
+    config = BiLSTMConfig(
+        num_input=7, num_hidden=100, timesteps=timesteps, num_layers=num_layers
+    )
+    params = init_bilstm_params(jax.random.PRNGKey(2), config)
+    x = jax.random.normal(jax.random.PRNGKey(3), (9, timesteps, 7), jnp.float32)
+    got = np.asarray(
+        bilstm_fused_center_mono(
+            params, x, num_layers=num_layers, timesteps=timesteps,
+            tile_b=8, interpret=True,
+        )
+    )
+    want = np.asarray(bilstm_center_features(params, x, config))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize(
     "timesteps,num_layers",
     [(21, 1), (11, 3), (20, 3), (5, 2)],
