@@ -60,29 +60,37 @@ def _pad_weights(kernel: jnp.ndarray, in_dim: int, h: int):
     return w_x, w_h
 
 
-def _layer_kernel(
-    in_fw_ref, in_bw_ref,
-    wx_fw_ref, wh_fw_ref, b_fw_ref,
-    wx_bw_ref, wh_bw_ref, b_bw_ref,
-    out_fw_ref, out_bw_ref,
-    c_fw, h_fw, c_bw, h_bw,
-    *, in_steps: int, out_steps: int, forget_bias: float,
-    reverse_bw_read: bool, seq_dtype=jnp.float32, final: bool = False,
-):
-    c_fw[...] = jnp.zeros_like(c_fw)
-    h_fw[...] = jnp.zeros_like(h_fw)
-    c_bw[...] = jnp.zeros_like(c_bw)
-    h_bw[...] = jnp.zeros_like(h_bw)
+# bf16 mode evaluates sigmoid(x) as 0.5*tanh(0.5*x)+0.5 (exact identity,
+# one native transcendental). The inner 0.5*x and the f-gate's
+# forget_bias are folded INTO the weights/bias at prep time: scaling by
+# 0.5 is a pure exponent shift (exact in fp32 and bf16), so the tanh
+# argument is bit-identical while the kernel drops one multiply per
+# sigmoid and the forget-bias add — ~4 VPU ops per cell step.
+def _prescale_ifo(wx, wh, b, forget_bias):
+    import numpy as np
 
-    if seq_dtype == jnp.bfloat16:
-        # sigmoid(x) == 0.5*tanh(x/2)+0.5 exactly; the tanh form lowers to
-        # one native transcendental (no exp+divide) and measures ~19%
-        # faster on this VPU-bound kernel. bf16 mode only: fp32 stays
-        # exp-based for bit-compatibility with the XLA scan path.
-        def sigmoid(x):
-            return 0.5 * jnp.tanh(0.5 * x) + 0.5
-    else:
-        sigmoid = jax.nn.sigmoid
+    # i, j(stays tanh-input, unscaled), f, o
+    scale = np.repeat(np.asarray([0.5, 1.0, 0.5, 0.5]), LANE)
+    b_shift = np.zeros((GATES,))
+    b_shift[2 * LANE : 3 * LANE] = 0.5 * forget_bias
+    return (
+        wx * scale.astype(wx.dtype),
+        wh * scale.astype(wh.dtype),
+        b * scale.astype(b.dtype) + b_shift.astype(b.dtype),
+    )
+
+
+def _make_cell(seq_dtype, forget_bias):
+    """TF1 BasicLSTMCell step shared by the layered and mono kernels.
+
+    bf16 mode: sigmoid(x) == 0.5*tanh(x/2)+0.5 exactly — one native
+    transcendental instead of exp+divide (~19% on this VPU-heavy kernel).
+    The inner x/2 and the f-gate's forget_bias arrive PRE-FOLDED into the
+    weights/bias (_prescale_ifo; exact exponent-shift scaling), so the
+    kernel applies only the outer 0.5*t+0.5. fp32 stays exp-based and
+    unscaled for bit-compatibility with the XLA scan path.
+    """
+    prescaled = seq_dtype == jnp.bfloat16
 
     def cell(x_t, h, c, wx_ref, wh_ref, b_ref):
         # matmuls accumulate fp32 regardless of storage dtype (bf16 mode
@@ -97,9 +105,36 @@ def _layer_kernel(
         j = gates[:, 1 * LANE : 2 * LANE]
         f = gates[:, 2 * LANE : 3 * LANE]
         o = gates[:, 3 * LANE : 4 * LANE]
-        new_c = c * sigmoid(f + forget_bias) + sigmoid(i) * jnp.tanh(j)
-        new_h = jnp.tanh(new_c) * sigmoid(o)
+        if prescaled:
+            s_i = 0.5 * jnp.tanh(i) + 0.5
+            s_f = 0.5 * jnp.tanh(f) + 0.5  # forget_bias folded into bias
+            s_o = 0.5 * jnp.tanh(o) + 0.5
+        else:
+            s_i = jax.nn.sigmoid(i)
+            s_f = jax.nn.sigmoid(f + forget_bias)
+            s_o = jax.nn.sigmoid(o)
+        new_c = c * s_f + s_i * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * s_o
         return new_h, new_c
+
+    return cell
+
+
+def _layer_kernel(
+    in_fw_ref, in_bw_ref,
+    wx_fw_ref, wh_fw_ref, b_fw_ref,
+    wx_bw_ref, wh_bw_ref, b_bw_ref,
+    out_fw_ref, out_bw_ref,
+    c_fw, h_fw, c_bw, h_bw,
+    *, in_steps: int, out_steps: int, forget_bias: float,
+    reverse_bw_read: bool, seq_dtype=jnp.float32, final: bool = False,
+):
+    c_fw[...] = jnp.zeros_like(c_fw)
+    h_fw[...] = jnp.zeros_like(h_fw)
+    c_bw[...] = jnp.zeros_like(c_bw)
+    h_bw[...] = jnp.zeros_like(h_bw)
+
+    cell = _make_cell(seq_dtype, forget_bias)
 
     def body(t, _):
         # time-major layout: the dynamic index lives on the OUTERMOST dim,
@@ -222,26 +257,7 @@ def _mono_kernel(
     out_fw_ref, out_bw_ref = rest[6 * num_layers : 6 * num_layers + 2]
     c_fw, h_fw, c_bw, h_bw, sfw_a, sbw_a, sfw_b, sbw_b = rest[6 * num_layers + 2 :]
 
-    if seq_dtype == jnp.bfloat16:
-        def sigmoid(x):
-            return 0.5 * jnp.tanh(0.5 * x) + 0.5
-    else:
-        sigmoid = jax.nn.sigmoid
-
-    def cell(x_t, h, c, wx_ref, wh_ref, b_ref):
-        gates = (
-            jnp.dot(x_t, wx_ref[...], preferred_element_type=jnp.float32)
-            + jnp.dot(h.astype(seq_dtype), wh_ref[...],
-                      preferred_element_type=jnp.float32)
-            + b_ref[...].astype(jnp.float32)
-        )
-        i = gates[:, 0 * LANE : 1 * LANE]
-        j = gates[:, 1 * LANE : 2 * LANE]
-        f = gates[:, 2 * LANE : 3 * LANE]
-        o = gates[:, 3 * LANE : 4 * LANE]
-        new_c = c * sigmoid(f + forget_bias) + sigmoid(i) * jnp.tanh(j)
-        new_h = jnp.tanh(new_c) * sigmoid(o)
-        return new_h, new_c
+    cell = _make_cell(seq_dtype, forget_bias)
 
     src_fw, src_bw = None, None  # layer 0 reads x_ref directly
     dst_fw, dst_bw = sfw_a, sbw_a
@@ -249,6 +265,9 @@ def _mono_kernel(
         wx_fw_ref, wh_fw_ref, b_fw_ref, wx_bw_ref, wh_bw_ref, b_bw_ref = (
             w_refs[6 * layer : 6 * layer + 6]
         )
+        # h/c live in VMEM scratch: measured ~1% faster than carrying
+        # them as SSA values through the unrolled steps (Mosaic's own
+        # spill placement loses to the explicit scratch round trip here)
         c_fw[...] = jnp.zeros_like(c_fw)
         h_fw[...] = jnp.zeros_like(h_fw)
         c_bw[...] = jnp.zeros_like(c_bw)
@@ -281,10 +300,75 @@ def _mono_kernel(
         dst_fw, dst_bw = (sfw_b, sbw_b) if layer % 2 == 0 else (sfw_a, sbw_a)
 
 
+def _mono_wavefront_kernel(
+    x_ref,
+    *rest,
+    num_layers: int,
+    in_steps: int,
+    out_steps: int,
+    forget_bias: float,
+    seq_dtype=jnp.float32,
+):
+    """Mono kernel, layer-wavefront schedule.
+
+    At wavefront step s, layer L runs timestep t = s - L: layer L's read
+    of the (L-1)-output at t was written one wavefront step earlier, so
+    all num_layers x 2 recurrence chains are live and INDEPENDENT within
+    a step — 6 interleaved chains (vs 2 in the sequential schedule) give
+    the scheduler real work to hide each matmul's latency behind.
+    Requires num_layers <= 3 (two ping-pong sequence buffers; a 4th layer
+    would overwrite rows a lagging reader still needs). Each layer keeps
+    its own h/c scratch since all layers are mid-flight at once.
+    """
+    w_refs = rest[: 6 * num_layers]
+    out_fw_ref, out_bw_ref = rest[6 * num_layers : 6 * num_layers + 2]
+    scratch = rest[6 * num_layers + 2 :]
+    states = [scratch[4 * L : 4 * L + 4] for L in range(num_layers)]
+    sfw_a, sbw_a, sfw_b, sbw_b = scratch[4 * num_layers :]
+
+    cell = _make_cell(seq_dtype, forget_bias)
+
+    for refs in states:
+        for r in refs:
+            r[...] = jnp.zeros_like(r)
+
+    src = [None, (sfw_a, sbw_a), (sfw_b, sbw_b), (sfw_a, sbw_a)][: num_layers + 1]
+    for s in range(out_steps + num_layers - 1):
+        for layer in range(num_layers):
+            t = s - layer
+            if not 0 <= t < out_steps:
+                continue
+            (wx_fw_ref, wh_fw_ref, b_fw_ref,
+             wx_bw_ref, wh_bw_ref, b_bw_ref) = w_refs[6 * layer : 6 * layer + 6]
+            c_fw, h_fw, c_bw, h_bw = states[layer]
+            if layer == 0:
+                x_fw = x_ref[t]
+                x_bw = x_ref[in_steps - 1 - t]
+            else:
+                x_fw = src[layer][0][t]
+                x_bw = src[layer][1][t]
+            nh_fw, nc_fw = cell(x_fw, h_fw[...], c_fw[...],
+                                wx_fw_ref, wh_fw_ref, b_fw_ref)
+            nh_bw, nc_bw = cell(x_bw, h_bw[...], c_bw[...],
+                                wx_bw_ref, wh_bw_ref, b_bw_ref)
+            h_fw[...] = nh_fw
+            c_fw[...] = nc_fw
+            h_bw[...] = nh_bw
+            c_bw[...] = nc_bw
+            if layer == num_layers - 1:
+                if t == out_steps - 1:  # only the center row leaves VMEM
+                    out_fw_ref[0, :, :] = nh_fw.astype(seq_dtype)
+                    out_bw_ref[0, :, :] = nh_bw.astype(seq_dtype)
+            else:
+                dst_fw, dst_bw = src[layer + 1]
+                dst_fw[t] = nh_fw.astype(seq_dtype)
+                dst_bw[t] = nh_bw.astype(seq_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("num_layers", "num_hidden",
                                              "timesteps", "forget_bias",
                                              "tile_b", "interpret",
-                                             "precision"))
+                                             "precision", "wavefront"))
 def bilstm_fused_center_mono(
     params: Dict[str, Any],
     x: jnp.ndarray,
@@ -295,6 +379,7 @@ def bilstm_fused_center_mono(
     tile_b: int | None = None,
     interpret: bool | None = None,
     precision: str = "fp32",
+    wavefront: bool = False,
 ) -> jnp.ndarray:
     """(B, T, F) -> (B, 2H) center features, whole stack in ONE kernel.
 
@@ -302,6 +387,11 @@ def bilstm_fused_center_mono(
     sequence exactly steps 0..T//2 of each lane). Inter-layer sequences
     live in VMEM scratch, so HBM traffic per window is one (T, F) input
     read plus one (2H,) center write — nothing else.
+
+    wavefront=True (num_layers <= 3) runs the layers skewed by one
+    timestep so all 2*num_layers recurrence chains are independent within
+    a wavefront step — more ILP for the scheduler at the cost of
+    per-layer h/c scratch.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -333,6 +423,8 @@ def bilstm_fused_center_mono(
                 jnp.asarray(lp["kernel"]).astype(seq_dtype), cur_in, h
             )
             b = _pad_gate_blocks(jnp.asarray(lp["bias"]), h)[None, :]
+            if seq_dtype == jnp.bfloat16:
+                wx, wh, b = _prescale_ifo(wx, wh, b, forget_bias)
             w_args.extend([wx, wh, b])
 
     grid = (batch_p // tile_b,)
@@ -346,9 +438,16 @@ def bilstm_fused_center_mono(
     )
     state_scratch = pltpu.VMEM((tile_b, LANE), jnp.float32)
     seq_scratch = pltpu.VMEM((out_steps, tile_b, LANE), seq_dtype)
+    if wavefront:
+        assert num_layers <= 3, "wavefront schedule needs num_layers <= 3"
+        kern = _mono_wavefront_kernel
+        n_state = 4 * num_layers
+    else:
+        kern = _mono_kernel
+        n_state = 4
     out_fw, out_bw = pl.pallas_call(
         functools.partial(
-            _mono_kernel,
+            kern,
             num_layers=num_layers,
             in_steps=timesteps,
             out_steps=out_steps,
@@ -362,7 +461,7 @@ def bilstm_fused_center_mono(
             jax.ShapeDtypeStruct((1, batch_p, LANE), seq_dtype),
             jax.ShapeDtypeStruct((1, batch_p, LANE), seq_dtype),
         ),
-        scratch_shapes=[state_scratch] * 4 + [seq_scratch] * 4,
+        scratch_shapes=[state_scratch] * n_state + [seq_scratch] * 4,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 2 * num_layers * batch_p * out_steps * LANE * GATES,
             bytes_accessed=2 * batch_p * timesteps * LANE,
@@ -443,6 +542,9 @@ def bilstm_fused_center(
         )
         b_fw = _pad_gate_blocks(jnp.asarray(lp_fw["bias"]), h)[None, :]
         b_bw = _pad_gate_blocks(jnp.asarray(lp_bw["bias"]), h)[None, :]
+        if seq_dtype == jnp.bfloat16:
+            wx_fw, wh_fw, b_fw = _prescale_ifo(wx_fw, wh_fw, b_fw, forget_bias)
+            wx_bw, wh_bw, b_bw = _prescale_ifo(wx_bw, wh_bw, b_bw, forget_bias)
         # odd-T: the final layer stores ONLY the center row (its sequence
         # is never read back); even-T needs two different rows, keep all
         final = (layer == num_layers - 1) and timesteps % 2 == 1
