@@ -185,6 +185,7 @@ def expand_alignment(
     min_events: int = 50,
     cpg_canonicalize: bool = True,
     cigar_arrays=None,
+    strict_ref_clips: bool = True,
 ) -> BaseMapResult:
     """Expand one filtered SAM record into the strand-oriented base map.
 
@@ -195,6 +196,17 @@ def expand_alignment(
     into the event array rather than a copy. ``cigar_arrays`` is an
     optional pre-parsed (nums, op_codes) pair (SamRecord.cigar_arrays)
     that skips the string parse.
+
+    ``strict_ref_clips`` replicates a reference inconsistency: for '-'
+    alignments the reference attributes the SEQ-left unmatched trim
+    (firstmatch) and the SEQ-right tail trim to the OPPOSITE clip
+    variables (myDetect.py:634-635 + the :666 swap), then walks the
+    ORIGINAL event table with those clips (get_Feature, :855-874) — so
+    whenever firstmatch != tail the walk is event-shifted, its
+    model_state check fires, and the read is dropped as 'Error Does not
+    match' (~2-3%% of minus-strand reads on realistic data). True keeps
+    that exact read set for BED parity; False keeps such reads with
+    self-consistent windows (more coverage, beyond the reference).
     """
     parsed = cigar_arrays if cigar_arrays is not None else parse_cigar(cigar)
     nums, ops, pos, leftclip, rightclip, rstart, rstop = _strip_clips(
@@ -268,6 +280,14 @@ def expand_alignment(
         # (firstmatch) removes READ-RIGHT events, which pre-swap is the
         # SEQ-left clip variable, and vice versa — the event-slice
         # expressions below encode exactly this (ev_hi -= firstmatch)
+        tail_trim = (
+            m_event_len - lastmatch - 1 if m_event_len - lastmatch > 1 else 0
+        )
+        if strict_ref_clips and firstmatch != tail_trim:
+            # the reference's swapped accounting shifts its event walk by
+            # (firstmatch - tail) for such reads and its consistency gate
+            # drops them (see docstring); match its read set and census
+            raise AlignmentRejected("Error Does not match")
         leftclip += firstmatch
         if m_event_len - lastmatch > 1:
             rightclip += m_event_len - lastmatch - 1

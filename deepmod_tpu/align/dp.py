@@ -37,6 +37,10 @@ def global_align_ops(a: str, b: str) -> List[Tuple[str, int]]:
     Dispatches to the C++ core (deepmod_tpu.native) when built; the two
     implementations share cost model and tie-breaking and are pinned
     equal by tests/test_native.py.
+
+    FULL-matrix O(n*m) DP (int32 backpointers): callers must bound the
+    segment sizes — BuiltinAligner caps every gap/tail at max_dp (2000,
+    a 16 MB matrix) and soft-clips / splits past it.
     """
     if _native_align is not None:
         result = _native_align(a, b)

@@ -93,7 +93,12 @@ def _minimizers(seq: str, k: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
     if len(hashes) <= w:
         pos = np.array([int(np.argmin(hashes))], np.int64)
-        return pos, hashes[pos]
+        sel = hashes[pos]
+        # an all-invalid-kmer sequence must yield NO minimizers (the BAD
+        # sentinel would otherwise enter the index and match other all-N
+        # sequences); mirrors the long path and the native core
+        keep = sel != np.uint64(0xFFFFFFFFFFFFFFFF)
+        return pos[keep], sel[keep]
     windows = np.lib.stride_tricks.sliding_window_view(hashes, w)
     mins = windows.argmin(axis=1) + np.arange(len(windows))
     pos = np.unique(mins)
@@ -166,10 +171,17 @@ def _best_chain(
     qpos: np.ndarray, rid: np.ndarray, rpos: np.ndarray, strand: str,
     band: int = 500,
 ) -> Optional[_Chain]:
-    """Pick the densest diagonal band per rid and chain its anchors."""
+    """Pick the densest diagonal band per rid and chain its anchors.
+
+    The returned chain's ``second_score`` also reflects the strongest
+    chain on any OTHER reference sequence (same strand): a read from a
+    region duplicated across chromosomes must come back ambiguous, not
+    as a confident unique mapping.
+    """
     if len(qpos) == 0:
         return None
     best: Optional[_Chain] = None
+    runner_up_score = 0
     for cur_rid in np.unique(rid):
         mask = rid == cur_rid
         q = qpos[mask]
@@ -189,7 +201,11 @@ def _best_chain(
                     second_score=second_n,
                 )
                 if best is None or chain.score > best.score:
+                    if best is not None:
+                        runner_up_score = max(runner_up_score, best.score)
                     best = chain
+                else:
+                    runner_up_score = max(runner_up_score, chain.score)
                 continue
         diag = r - q
         # histogram diagonals into `band`-wide bins; densest bin wins
@@ -236,7 +252,13 @@ def _best_chain(
             second_score=second,
         )
         if best is None or chain.score > best.score:
+            if best is not None:
+                runner_up_score = max(runner_up_score, best.score)
             best = chain
+        else:
+            runner_up_score = max(runner_up_score, chain.score)
+    if best is not None and runner_up_score > best.second_score:
+        best = dataclasses.replace(best, second_score=runner_up_score)
     return best
 
 
@@ -244,10 +266,14 @@ class BuiltinAligner:
     """Map reads against a MinimizerIndex, emitting SAM-equivalent records."""
 
     def __init__(self, index: MinimizerIndex, min_chain_anchors: int = 3,
-                 tail_flank: int = 32):
+                 max_dp: int = 2000):
         self.index = index
         self.min_chain_anchors = min_chain_anchors
-        self.tail_flank = tail_flank
+        # the gap/tail DP is a full O(n*m) matrix (16 MB at 2000x2000):
+        # inter-anchor gaps beyond max_dp split the chain (densest run
+        # kept) and tails beyond it are soft-clipped past the cap — one
+        # unmappable 300 kb tail must not allocate a 360 GB matrix
+        self.max_dp = max_dp
 
     def map_read(self, name: str, seq: str) -> Optional[SamRecord]:
         k = self.index.k
@@ -282,6 +308,17 @@ class BuiltinAligner:
         # with vectorized numpy — no per-anchor Python loop.
         aq = chain.anchors_q
         ar = chain.anchors_r
+        # break the chain at gaps the DP must not bridge (> max_dp on
+        # either side) and keep the densest anchor run; the severed ends
+        # fall into the (capped) tail handling below
+        over = (np.diff(aq) > self.max_dp) | (np.diff(ar) > self.max_dp)
+        if over.any():
+            runs = np.split(np.arange(len(aq)), np.flatnonzero(over) + 1)
+            best_run = max(runs, key=len)
+            aq = aq[best_run[0] : best_run[-1] + 1]
+            ar = ar[best_run[0] : best_run[-1] + 1]
+            if len(aq) < self.min_chain_anchors:
+                return None
         q0 = int(aq[0])
         r0 = int(ar[0])
         dq = np.diff(aq)
@@ -289,38 +326,36 @@ class BuiltinAligner:
         n_body = len(dq)
         n_body_segs = int(body_is_seg.sum())
 
-        # left tail: align the read head against the same-length ref window
-        # ending at the first anchor (any overhang becomes leading I ops,
-        # which downstream clip-stripping absorbs)
-        soft_left = 0
-        head_r_start = r0 - min(q0, r0)
-        head_seg = bool(q0) and r0 > head_r_start
-        if q0 and not head_seg:
-            soft_left = q0
+        # left tail: align (at most max_dp of) the read head against the
+        # same-length ref window ending at the first anchor; bases past
+        # the cap — and any overhang — become a leading soft clip
+        head_len = min(q0, r0, self.max_dp)
+        soft_left = q0 - head_len
+        head_seg = head_len > 0
+        head_r_start = r0 - head_len
         map_start = head_r_start if head_seg else r0
 
         # right tail (the last anchor's k-mer is an exact match)
         last_q = int(aq[-1]) + k
         last_r = int(ar[-1]) + k
-        soft_right = 0
         n_tail = len(oseq) - last_q
-        tail_r_end = min(last_r + n_tail, len(ref_b))
-        tail_seg = bool(n_tail) and tail_r_end > last_r
-        if n_tail and not tail_seg:
-            soft_right = n_tail
+        tail_len = min(n_tail, len(ref_b) - last_r, self.max_dp)
+        soft_right = n_tail - tail_len
+        tail_seg = tail_len > 0
+        tail_r_end = last_r + tail_len
 
         # DP segments in piece order: head, body gaps, tail
         segs = np.empty((n_body_segs + head_seg + tail_seg, 4), np.int64)
         si = 0
         if head_seg:
-            segs[0] = (0, q0, head_r_start, r0)
+            segs[0] = (q0 - head_len, q0, head_r_start, r0)
             si = 1
         segs[si : si + n_body_segs, 0] = aq[:-1][body_is_seg]
         segs[si : si + n_body_segs, 1] = aq[1:][body_is_seg]
         segs[si : si + n_body_segs, 2] = ar[:-1][body_is_seg]
         segs[si : si + n_body_segs, 3] = ar[1:][body_is_seg]
         if tail_seg:
-            segs[-1] = (last_q, len(oseq), last_r, tail_r_end)
+            segs[-1] = (last_q, last_q + tail_len, last_r, tail_r_end)
 
         # per-column op bytes for every DP segment, as one flat buffer
         raw = None
@@ -349,33 +384,35 @@ class BuiltinAligner:
             seg_lens = np.asarray([len(b) for b in seg_parts], np.int64)
 
         # piece table: [soft_left?] [head seg?] body(M|seg)* M(k)
-        #              [tail seg? | soft_right?]
+        #              [tail seg?] [soft_right?]  — a capped tail emits
+        # BOTH its DP segment and the soft clip past the cap
         n_pieces = (
-            (1 if (soft_left or head_seg) else 0) + n_body + 1
-            + (1 if (soft_right or tail_seg) else 0)
+            (1 if soft_left else 0) + (1 if head_seg else 0) + n_body + 1
+            + (1 if tail_seg else 0) + (1 if soft_right else 0)
         )
         piece_len = np.zeros(n_pieces, np.int64)
         piece_byte = np.full(n_pieces, _M_BYTE, np.uint8)
         piece_is_seg = np.zeros(n_pieces, bool)
         p = 0
         if soft_left:
-            piece_len[0] = soft_left
-            piece_byte[0] = _S_BYTE
-            p = 1
-        elif head_seg:
-            piece_is_seg[0] = True
-            p = 1
+            piece_len[p] = soft_left
+            piece_byte[p] = _S_BYTE
+            p += 1
+        if head_seg:
+            piece_is_seg[p] = True
+            p += 1
         body = slice(p, p + n_body)
         piece_is_seg[body] = body_is_seg
         piece_len[body] = np.where(body_is_seg, 0, dq)
         p += n_body
         piece_len[p] = k
         p += 1
+        if tail_seg:
+            piece_is_seg[p] = True
+            p += 1
         if soft_right:
             piece_len[p] = soft_right
             piece_byte[p] = _S_BYTE
-        elif tail_seg:
-            piece_is_seg[p] = True
         piece_len[piece_is_seg] = seg_lens
 
         # stitch per-column ops in piece order (ragged-range fills), then

@@ -105,6 +105,7 @@ def cmd_detect(args) -> int:
         trace_dir=args.trace,
         device_aggregation=bool(args.device_aggregation),
         target_only=bool(args.targetOnly),
+        strict_ref_clips=bool(args.strictRefClips),
     )
     result = detect_run(config)
     print(
@@ -437,6 +438,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="classify only windows whose reference base is --Base "
         "(~4x less device work; BED-identical, per-read files carry "
         "mod_pred 0 on non-target rows)",
+    )
+    p.add_argument(
+        "--strictRefClips", type=int, default=1, choices=[0, 1],
+        help="1 (default): replicate the reference detect path's swapped "
+        "minus-strand trim accounting, which drops '-' reads whose "
+        "leading/trailing unmatched trims differ ('Error Does not "
+        "match', ~2-3%% of reads) — required for BED parity with the "
+        "reference; 0: keep those reads with self-consistent windows "
+        "(more coverage; the accounting the reference's own getfeatures "
+        "variant uses)",
     )
     p.set_defaults(func=cmd_detect)
 

@@ -90,6 +90,12 @@ class DetectConfig:
     # refbase==Base rows, but per-read files carry mod_pred 0 where the
     # reference stores model outputs for non-target rows)
     target_only: bool = False
+    # replicate the reference detect path's swapped minus-strand trim
+    # accounting, which drops firstmatch!=tail '-' reads as 'Error Does
+    # not match' (~2-3% of reads; see align/cigar.py docstring). False
+    # keeps them with self-consistent windows — more coverage, and the
+    # accounting the reference's own getfeatures variant uses
+    strict_ref_clips: bool = True
 
 
 @dataclasses.dataclass
@@ -251,23 +257,6 @@ def discover_fast5(wrk_base: str, recursive: bool = True) -> List[str]:
     return files
 
 
-def _chrom_ok(rname: str, config: DetectConfig) -> bool:
-    if not config.con_unk and any(c in rname for c in "_-/:"):
-        return False
-    return any(r[0] in ("", None, rname) for r in config.regions)
-
-
-def _region_ok(rname: str, pos: int, n_events: int, config: DetectConfig) -> bool:
-    for chrom, start, end in config.regions:
-        if (
-            chrom in ("", None, rname)
-            and (start in ("", None) or pos > start)
-            and (end in ("", None) or pos + n_events < end)
-        ):
-            return True
-    return False
-
-
 def _save_predetail(
     fh,  # open h5py.File (one per batch — opening per read costs ~1ms each)
     pred_key: str,
@@ -329,6 +318,7 @@ def _host_options(config: DetectConfig):
         move=config.move,
         min_events=50,
         cpg_canonicalize=True,
+        strict_ref_clips=config.strict_ref_clips,
     )
 
 
@@ -376,7 +366,9 @@ def predict_batch_windows(
             offset += len(r.features)
             n_total += r.n_aligned
         all_centers = np.concatenate(centers)
-        preds_sel = predictor.predict_from_features(all_features, all_centers)
+        preds_sel = predictor.predict_from_features(
+            all_features, all_centers, window=predictor.config.timesteps
+        )
         if target_base is None:
             return preds_sel
         # scatter back to the all-events layout apply_batch_outputs expects

@@ -220,6 +220,11 @@ def _gf_process_batch(batch_id: int, batch: List[str]):
                 len(read.m_event), min_events=500,
                 cpg_canonicalize=(label_opts.motif == "CG"),
                 cigar_arrays=rec.cigar_arrays,
+                # the getfeatures reference variant attributes unmatched
+                # trims CONSISTENTLY (myGetFeatureBasedPos.py:253-254 —
+                # no strand branch), unlike detect's swapped accounting,
+                # so minus-strand firstmatch!=tail reads are kept here
+                strict_ref_clips=False,
             )
             mfeat = build_labeled_features(
                 read.m_event, read.raw_signals, read.basecall, bmr,

@@ -39,6 +39,7 @@ class HostOptions:
     move: bool
     min_events: int = 50
     cpg_canonicalize: bool = True
+    strict_ref_clips: bool = True
 
 
 @dataclasses.dataclass
@@ -147,6 +148,7 @@ def host_process_files(
                 len(read.m_event), min_events=opts.min_events,
                 cpg_canonicalize=opts.cpg_canonicalize,
                 cigar_arrays=rec.cigar_arrays,
+                strict_ref_clips=opts.strict_ref_clips,
             )
             mfeat, start_clip, end_clip = build_feature_matrix(
                 read.m_event, read.raw_signals, read.basecall, bmr,

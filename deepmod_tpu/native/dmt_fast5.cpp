@@ -355,18 +355,12 @@ void* dmt_f5_open(const char* path, const char* basecall_group,
               read_numeric_field(did, "length", n, &d->ev_length) &&
               read_int_field(did, "move", n, &d->ev_move);
     if (ok) {
-      // model_state: fixed-width string member; width from the file type
-      hid_t ftid = api.H5Dget_type(did);
-      int nm = api.H5Tget_nmembers(ftid);
+      // model_state is read through a width-5 string member: HDF5's
+      // type conversion truncates longer file-side strings, which is
+      // the pipeline contract anyway — the event table stores U5 states
+      // (reference m_event dtype, myDetect.py:234), matching the h5py
+      // path's astype('S5').
       size_t width = 5;
-      for (int i = 0; i < nm; ++i) {
-        char* name = api.H5Tget_member_name(ftid, i);
-        if (name && strcmp(name, "model_state") == 0) {
-          // width recovered by reading into a generous buffer per row
-        }
-        if (name) api.H5free_memory(name);
-      }
-      api.H5Tclose(ftid);
       hid_t str_t = api.H5Tcopy(api.c_s1);
       api.H5Tset_size(str_t, width);
       hid_t mem = api.H5Tcreate(6, width);

@@ -70,7 +70,12 @@ int dmt_event_stats(const double* signal, int64_t n_signal,
     const double exact_mean = (double)seg_sum / (double)cnt;
     double var = (double)seg_sum2 / (double)cnt - exact_mean * exact_mean;
     if (var < 0) var = 0;
-    stds_out[i] = (float)(std::round(std::sqrt(var)) / 1000.0);
+    // replicate the numpy twin's exact operation sequence:
+    // np.round(sqrt(var)/1000, 3) == rint(std*1000)/1000 with HALF-EVEN
+    // rounding (std::rint under the default FE_TONEAREST mode) — NOT
+    // std::round, whose half-away ties diverge at exact half-millis
+    const double std_f = std::sqrt(var) / 1000.0;
+    stds_out[i] = (float)(std::rint(std_f * 1000.0) / 1000.0);
   }
   return (int)n_valid;
 }

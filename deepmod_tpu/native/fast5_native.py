@@ -157,6 +157,12 @@ def read_fast5_native(path: str, options=None):
                 handle, move_data.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
             )
             first = int(lib.dmt_f5_first_sample(handle))
+            if first < 0:
+                # Segmentation summary absent: the h5py path raises
+                # KeyError there, which the batch readers classify as
+                # "Cannot open fast5 or other errors" — match it instead
+                # of silently building events from start=-1
+                raise EventError("Cannot open fast5 or other errors")
             m_event, skip = move_table_events(
                 move_data, raw_signals, fq_seq, first
             )

@@ -80,7 +80,8 @@ class DetectService:
                     )
                     offset += len(r.features)
                 preds = self.predictor.predict_from_features(
-                    feats, np.concatenate(centers)
+                    feats, np.concatenate(centers),
+                    window=self.predictor.config.timesteps,
                 )
                 off = 0
                 for r in results:

@@ -265,3 +265,57 @@ def test_ambiguous_repeat_lowers_mapq():
     # unique read still gets 60
     uniq = genome["chrRep"][1000:2000]
     assert rep_aligner.align({"u": uniq})[0].mapq == 60
+
+
+def test_unmappable_tail_is_soft_clipped_not_dp_aligned():
+    """A long tail with no anchors must be soft-clipped past the DP cap
+    (max_dp), not fed to the full-matrix DP — a 300 kb unanchored tail
+    would otherwise allocate a ~360 GB matrix."""
+    rng = np.random.RandomState(77)
+    genome = {"chrT": random_seq(rng, 10000)}
+    al = MinimizerAligner(genome)
+    read = genome["chrT"][2000:3000] + random_seq(rng, 5000)
+    recs = al.align({"tailed": read})
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec.cigar.endswith("S")
+    # the mapped body must still anchor at the true locus
+    assert abs(rec.pos - 2001) < 50
+    # soft clip absorbs at least the tail beyond the DP cap
+    import re
+    trail_s = int(re.findall(r"(\d+)S$", rec.cigar)[0])
+    assert trail_s >= 3000
+
+
+def test_oversized_gap_splits_chain():
+    """Two anchored blocks separated by a >max_dp deletion-like gap must
+    not be bridged by one giant DP; the densest block maps, the rest is
+    clipped or dropped."""
+    rng = np.random.RandomState(78)
+    genome = {"chrG": random_seq(rng, 20000)}
+    al = MinimizerAligner(genome)
+    read = genome["chrG"][1000:2000] + genome["chrG"][9000:12000]
+    recs = al.align({"gapped": read})
+    assert len(recs) == 1
+    rec = recs[0]
+    # densest run is the 3 kb block at 9000
+    assert abs(rec.pos - 9001) < 1200
+    # and no D run longer than the DP cap survives in the CIGAR
+    import re
+    assert all(int(n) <= 2000 for n in re.findall(r"(\d+)D", rec.cigar))
+
+
+def test_cross_chromosome_duplicate_lowers_mapq():
+    """A read from a region duplicated on TWO reference sequences (same
+    strand) must be flagged ambiguous — the runner-up chain lives on a
+    different rid, which same-rid diagonal-band logic alone misses."""
+    rng = np.random.RandomState(321)
+    unit = random_seq(rng, 1200)
+    genome = {
+        "chrA": random_seq(rng, 2500) + unit + random_seq(rng, 2500),
+        "chrB": random_seq(rng, 1500) + unit + random_seq(rng, 3500),
+    }
+    aligner2 = MinimizerAligner(genome)
+    recs = aligner2.align({"dup": unit[100:1100]})
+    assert len(recs) == 1
+    assert recs[0].mapq == 3

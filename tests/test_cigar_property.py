@@ -161,6 +161,9 @@ def _reference_walk(refseq, readseq, pos, cigar, strand, num_events):
                     readb[ali - 1], readb[ali - addali] = readb[ali - addali], readb[ali - 1]
 
     return {
+        "firstmatch": firstmatch,
+        "tail_trim": (m_event_len - lastmatch - 1
+                      if m_event_len - lastmatch > 1 else 0),
         "refbase": refb,
         "readbase": readb,
         "refbasei": [r[2] for r in rows],
@@ -234,10 +237,28 @@ def test_expand_alignment_matches_reference_walk():
             continue
         refseq, readseq, pos, cigar, strand, num_events = case
         want = _reference_walk(refseq, readseq, pos, cigar, strand, num_events)
+        # strict mode (the detect default) must reject EXACTLY the reads
+        # the reference's swapped minus-strand accounting event-shifts
+        # and drops: '-' strand with firstmatch != tail trim
+        strict_drop = (
+            want is not None
+            and strand == "-"
+            and want["firstmatch"] != want["tail_trim"]
+        )
+        try:
+            expand_alignment(
+                refseq, readseq, pos, cigar, strand, "chrT", num_events,
+                min_events=0, strict_ref_clips=True,
+            )
+            assert not strict_drop, (cigar, strand)
+        except AlignmentRejected as exc:
+            if want is not None:
+                assert str(exc) == "Error Does not match", (cigar, strand)
+                assert strict_drop, (cigar, strand)
         try:
             got = expand_alignment(
                 refseq, readseq, pos, cigar, strand, "chrT", num_events,
-                min_events=0,
+                min_events=0, strict_ref_clips=False,
             )
         except AlignmentRejected:
             assert want is None, (cigar, strand)
@@ -266,9 +287,10 @@ def test_expand_alignment_matches_reference_walk():
 
 def test_minus_strand_leading_mismatch_feature_build():
     """Regression: a minus-strand alignment whose FIRST SEQ base is a
-    mismatch (firstmatch=1) used to get its trim charged to the wrong
-    clip side, so build_feature_matrix rejected the read ('Error Does
-    not match'); 2.5% of reads in a 4000-read synthetic run failed."""
+    mismatch (firstmatch=1) gets a self-consistent window in keep mode
+    (strict_ref_clips=False; the reference's getfeatures accounting),
+    while strict mode replicates the reference detect path, which
+    event-shifts and drops such reads — 2.5% of a 4000-read run."""
     import numpy as np
 
     from deepmod_tpu.features.builder import build_feature_matrix
@@ -279,8 +301,14 @@ def test_minus_strand_leading_mismatch_feature_build():
     read = "".join(rng.choice(list("ACGT"), 200))
     seq = reverse_complement(read)
     ref = "A" + seq[1:] if seq[0] != "A" else "C" + seq[1:]  # SEQ[0] mismatch
+    with pytest.raises(AlignmentRejected, match="Error Does not match"):
+        expand_alignment(
+            ref, seq, 0, f"{len(seq)}M", "-", "chrT", 200, min_events=0,
+            strict_ref_clips=True,
+        )
     bmr = expand_alignment(
-        ref, seq, 0, f"{len(seq)}M", "-", "chrT", 200, min_events=0
+        ref, seq, 0, f"{len(seq)}M", "-", "chrT", 200, min_events=0,
+        strict_ref_clips=False,
     )
     # read-right clip must carry the trimmed leading SEQ mismatch
     assert (bmr.left_clip, bmr.right_clip) == (0, 1)

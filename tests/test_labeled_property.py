@@ -145,6 +145,9 @@ def test_labels_match_reference_walk(tmp_path):
             genome[rec.rname], rec.seq, rec.pos - 1, rec.cigar, rec.strand,
             rec.rname, len(read.m_event), min_events=500,
             cpg_canonicalize=True,
+            # the getfeatures path keeps minus-strand trim-asymmetric
+            # reads (myGetFeatureBasedPos.py:253-254 accounting)
+            strict_ref_clips=False,
         )
         for posneg in (0, 1):
             opts = LabelOptions(

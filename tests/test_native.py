@@ -42,6 +42,27 @@ def test_event_stats_matches_numpy():
     np.testing.assert_array_equal(stds, want["stdv"])
 
 
+def test_event_stats_stdv_half_milli_tie():
+    """Exact half-milli stdv tie: two samples 0.005 apart give
+    var = 6.25e-6, sqrt = 2.5 milli — the C++ twin must apply numpy's
+    np.round(x, 3) operation sequence (rint half-even after the
+    /1000*1000 round trip), not std::round's half-away."""
+    from deepmod_tpu.io.events import EVENT_DTYPE
+    from deepmod_tpu.io.signal_norm import event_mean_std
+
+    raw = np.asarray([0.100, 0.105] * 8, np.float64)
+    m_event = np.zeros(8, EVENT_DTYPE)
+    m_event["start"] = np.arange(8) * 2
+    m_event["length"] = 2
+    want, n_want = event_mean_std(m_event.copy(), raw)
+    means, stds, n = event_stats_native(
+        raw, m_event["start"], m_event["length"]
+    )
+    assert n == n_want
+    np.testing.assert_array_equal(means, want["mean"])
+    np.testing.assert_array_equal(stds, want["stdv"])
+
+
 def test_normalize_matches_numpy():
     from deepmod_tpu.io.signal_norm import normalize_signal
 
