@@ -225,13 +225,18 @@ def cmd_predfeatures(args) -> int:
     from deepmod_tpu.train.trainer import predict_feature_files
 
     params, model_config = load_model(args.modfile)
+    split = TestSplit.parse(args.test) if args.test else None
     files = []
     for folder in args.wrkBase.split(","):
-        files.extend(find_feature_files(folder, bool(args.recursive)))
+        # P-mode: evaluate the HELD-OUT file complement; E-mode filtering
+        # happens per-row inside load_feature_file(for_test=True)
+        files.extend(
+            find_feature_files(folder, bool(args.recursive), split,
+                               for_test=True)
+        )
     if not files:
         print("no feature files found", file=sys.stderr)
         return 1
-    split = TestSplit.parse(args.test) if args.test else None
     out = os.path.join(args.outFolder, f"{args.FileID}_mpred.txt")
     os.makedirs(args.outFolder, exist_ok=True)
     results = predict_feature_files(

@@ -106,85 +106,89 @@ def _basecall_from_events(m_event: np.ndarray) -> str:
     return u8[:, byte_off].tobytes().decode("ascii")
 
 
-def read_fast5_file(
-    path: str, options: Fast5ReadOptions | None = None
+def _ingest_read(
+    node, options: Fast5ReadOptions, path: str, *,
+    channel_path: str, raw_getter, analyses_prefix: str,
 ) -> Fast5Read:
-    """Ingest one fast5; raises EventError/SignalRangeError/KeyError with
-    reference-style error-class messages on malformed files."""
-    import h5py
+    """Shared ingestion for both fast5 layouts.
 
-    options = options or Fast5ReadOptions()
-    with h5py.File(path, "r") as f5:
-        # channel info (myDetect.py:45-51)
+    ``node`` is the h5py File (single-read) or read_<uuid> group
+    (multi-read); the three keyword params encode the only layout
+    differences — channel-attrs location, raw-signal group, and the
+    Analyses path prefix. Everything else (version probe, fastq/read-id
+    parsing, the four event paths, normalize + mean/std + basecall
+    truncation) is one code path so fixes cannot silently diverge.
+    """
+    # channel info (myDetect.py:45-51)
+    try:
+        channel = dict(node[channel_path].attrs)
+        sampling_rate = float(channel["sampling_rate"])
+    except Exception as exc:
+        raise EventError("Channel information could not be found") from exc
+
+    base_path = f"{analyses_prefix}{options.basecall_1d}"
+    try:
+        version = _decode(node[base_path].attrs.get("version", "0.0"))
+    except Exception:
+        version = "0.0"
+    version_class = _version_class(version)
+
+    # fastq (myDetect.py:313-322)
+    fq_path = f"{base_path}/{options.basecall_2strand}/Fastq"
+    try:
+        fq_data = _decode(node[fq_path][()]).split("\n")
+    except Exception as exc:
+        raise EventError("No Fastq data") from exc
+    header = fq_data[0]
+    read_id = (header[1:] if header.startswith("@") else header)
+    read_id = read_id.replace(" ", ":::").replace("\t", "|||")
+    fq_seq = fq_data[1]
+
+    # raw signal + attrs (myDetect.py:287-297)
+    try:
+        raw_group = raw_getter(node)
+        raw_attributes = dict(raw_group.attrs)
+        raw_signals = np.asarray(raw_group["Signal"][()])
+    except Exception as exc:
+        raise EventError("No Raw_reads/Signal") from exc
+
+    # events -> m_event (myDetect.py:133-261)
+    if options.move:
+        mv_path = f"{base_path}/{options.basecall_2strand}/Move"
         try:
-            channel = dict(f5[CHANNEL_PATH].attrs)
-            sampling_rate = float(channel["sampling_rate"])
+            move_data = np.asarray(node[mv_path][()])
         except Exception as exc:
-            raise EventError("Channel information could not be found") from exc
-
-        base_path = f"/{ANALYSES}/{options.basecall_1d}"
+            raise EventError("No move data") from exc
+        seg = "Segmentation_" + options.basecall_1d.split("_")[-1]
+        seg_attrs = node[f"{analyses_prefix}{seg}/Summary/segmentation"].attrs
+        m_event, skip = move_table_events(
+            move_data,
+            raw_signals,
+            fq_seq,
+            int(seg_attrs["first_sample_template"]),
+        )
+        basecall = fq_seq
+    else:
+        ev_path = f"{base_path}/{options.basecall_2strand}/Events"
         try:
-            version = _decode(f5[base_path].attrs.get("version", "0.0"))
-        except Exception:
-            version = "0.0"
-        version_class = _version_class(version)
-
-        # fastq (myDetect.py:313-322)
-        fq_path = f"{base_path}/{options.basecall_2strand}/Fastq"
-        try:
-            fq_data = _decode(f5[fq_path][()]).split("\n")
+            events_data = np.asarray(node[ev_path][()])
         except Exception as exc:
-            raise EventError("No Fastq data") from exc
-        header = fq_data[0]
-        read_id = (header[1:] if header.startswith("@") else header)
-        read_id = read_id.replace(" ", ":::").replace("\t", "|||")
-        fq_seq = fq_data[1]
-
-        # raw signal + attrs (myDetect.py:287-297)
-        try:
-            raw_group = next(iter(f5[RAW_READS].values()))
-            raw_attributes = dict(raw_group.attrs)
-            raw_signals = np.asarray(raw_group["Signal"][()])
-        except Exception as exc:
-            raise EventError("No Raw_reads/Signal") from exc
-
-        # events -> m_event (myDetect.py:133-261)
-        if options.move:
-            mv_path = f"{base_path}/{options.basecall_2strand}/Move"
-            try:
-                move_data = np.asarray(f5[mv_path][()])
-            except Exception as exc:
-                raise EventError("No move data") from exc
-            seg = "Segmentation_" + options.basecall_1d.split("_")[-1]
-            seg_attrs = f5[f"/{ANALYSES}/{seg}/Summary/segmentation"].attrs
-            m_event, skip = move_table_events(
-                move_data,
-                raw_signals,
-                fq_seq,
-                int(seg_attrs["first_sample_template"]),
+            raise EventError("No events data") from exc
+        if version_class == 1:
+            if "start_time" not in raw_attributes:
+                # reference reads it unconditionally in the v1 path
+                # (myDetect.py:182-183) and a missing attr lands in
+                # the generic open-error class via KeyError
+                raise EventError("Cannot open fast5 or other errors")
+            start_time = int(raw_attributes["start_time"])
+            m_event, skip = collapse_events_v1(
+                events_data, sampling_rate, start_time
             )
-            basecall = fq_seq
+        elif options.signal_group == "simple":
+            m_event, skip = collapse_events_v2(events_data)
         else:
-            ev_path = f"{base_path}/{options.basecall_2strand}/Events"
-            try:
-                events_data = np.asarray(f5[ev_path][()])
-            except Exception as exc:
-                raise EventError("No events data") from exc
-            if version_class == 1:
-                if "start_time" not in raw_attributes:
-                    # reference reads it unconditionally in the v1 path
-                    # (myDetect.py:182-183) and a missing attr lands in
-                    # the generic open-error class via KeyError
-                    raise EventError("Cannot open fast5 or other errors")
-                start_time = int(raw_attributes["start_time"])
-                m_event, skip = collapse_events_v1(
-                    events_data, sampling_rate, start_time
-                )
-            elif options.signal_group == "simple":
-                m_event, skip = collapse_events_v2(events_data)
-            else:
-                m_event, skip = resegment_events(events_data, raw_signals, fq_seq)
-            basecall = _basecall_from_events(m_event)
+            m_event, skip = resegment_events(events_data, raw_signals, fq_seq)
+        basecall = _basecall_from_events(m_event)
 
     span_start = int(m_event["start"][0])
     span_end = int(m_event["start"][-1] + m_event["length"][-1])
@@ -202,6 +206,23 @@ def read_fast5_file(
         left_right_skip=skip,
         albacore_version=version,
     )
+
+
+def read_fast5_file(
+    path: str, options: Fast5ReadOptions | None = None
+) -> Fast5Read:
+    """Ingest one fast5; raises EventError/SignalRangeError/KeyError with
+    reference-style error-class messages on malformed files."""
+    import h5py
+
+    options = options or Fast5ReadOptions()
+    with h5py.File(path, "r") as f5:
+        return _ingest_read(
+            f5, options, path,
+            channel_path=CHANNEL_PATH,
+            raw_getter=lambda n: next(iter(n[RAW_READS].values())),
+            analyses_prefix=f"/{ANALYSES}/",
+        )
 
 
 def is_multi_read_fast5(path: str) -> bool:
@@ -249,81 +270,12 @@ def read_multi_fast5_file(
 
 
 def _ingest_read_group(group, options: Fast5ReadOptions, path: str) -> Fast5Read:
-    """Shared per-read extraction for the multi-read layout."""
-    try:
-        sampling_rate = float(group["channel_id"].attrs["sampling_rate"])
-    except Exception as exc:
-        raise EventError("Channel information could not be found") from exc
-    base_path = f"Analyses/{options.basecall_1d}"
-    try:
-        version = _decode(group[base_path].attrs.get("version", "0.0"))
-    except Exception:
-        version = "0.0"
-    version_class = _version_class(version)
-    try:
-        fq_data = _decode(
-            group[f"{base_path}/{options.basecall_2strand}/Fastq"][()]
-        ).split("\n")
-    except Exception as exc:
-        raise EventError("No Fastq data") from exc
-    header = fq_data[0]
-    read_id = (header[1:] if header.startswith("@") else header)
-    read_id = read_id.replace(" ", ":::").replace("\t", "|||")
-    fq_seq = fq_data[1]
-    try:
-        raw_attributes = dict(group["Raw"].attrs)
-        raw_signals = np.asarray(group["Raw/Signal"][()])
-    except Exception as exc:
-        raise EventError("No Raw_reads/Signal") from exc
-
-    if options.move:
-        try:
-            move_data = np.asarray(
-                group[f"{base_path}/{options.basecall_2strand}/Move"][()]
-            )
-        except Exception as exc:
-            raise EventError("No move data") from exc
-        seg = "Segmentation_" + options.basecall_1d.split("_")[-1]
-        seg_attrs = group[f"Analyses/{seg}/Summary/segmentation"].attrs
-        m_event, skip = move_table_events(
-            move_data, raw_signals, fq_seq,
-            int(seg_attrs["first_sample_template"]),
-        )
-        basecall = fq_seq
-    else:
-        try:
-            events_data = np.asarray(
-                group[f"{base_path}/{options.basecall_2strand}/Events"][()]
-            )
-        except Exception as exc:
-            raise EventError("No events data") from exc
-        if version_class == 1:
-            if "start_time" not in raw_attributes:
-                raise EventError("Cannot open fast5 or other errors")
-            start_time = int(raw_attributes["start_time"])
-            m_event, skip = collapse_events_v1(
-                events_data, sampling_rate, start_time
-            )
-        elif options.signal_group == "simple":
-            m_event, skip = collapse_events_v2(events_data)
-        else:
-            m_event, skip = resegment_events(events_data, raw_signals, fq_seq)
-        basecall = _basecall_from_events(m_event)
-
-    span_start = int(m_event["start"][0])
-    span_end = int(m_event["start"][-1] + m_event["length"][-1])
-    raw_signals = normalize_signal(raw_signals, span_start, span_end, in_place=True)
-    m_event, n_valid = event_mean_std(m_event, raw_signals)
-    if n_valid < len(basecall):
-        basecall = basecall[:n_valid]
-    return Fast5Read(
-        read_id=read_id,
-        basecall=basecall,
-        m_event=m_event,
-        raw_signals=raw_signals,
-        path=path,
-        left_right_skip=skip,
-        albacore_version=version,
+    """Per-read extraction for the multi-read layout (shared core)."""
+    return _ingest_read(
+        group, options, path,
+        channel_path="channel_id",
+        raw_getter=lambda n: n["Raw"],
+        analyses_prefix="Analyses/",
     )
 
 

@@ -32,6 +32,37 @@ def _local_counts(positions, covered, modded, length: int):
     return cov, mod
 
 
+_REDUCER_CACHE: dict = {}
+
+
+def _get_reducer(mesh: Mesh, length: int, axis: str):
+    """Jitted shard_map reducer, cached per (mesh, length, axis).
+
+    Building a fresh closure per call would defeat jax.jit's cache and
+    recompile the hot per-(chr,strand)-per-batch reduction every time
+    (especially costly through this environment's remote compile helper).
+    """
+    key = (mesh, length, axis)
+    fn = _REDUCER_CACHE.get(key)
+    if fn is None:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+        )
+        def reduce(pos, cov, mod):
+            local_cov, local_mod = _local_counts(pos, cov, mod, length)
+            return (
+                jax.lax.psum(local_cov, axis),
+                jax.lax.psum(local_mod, axis),
+            )
+
+        fn = jax.jit(reduce)
+        _REDUCER_CACHE[key] = fn
+    return fn
+
+
 def sharded_position_counts(
     mesh: Mesh,
     positions,
@@ -46,19 +77,6 @@ def sharded_position_counts(
     by the axis size; pad with covered=modded=0 rows at position 0).
     Returns replicated (coverage, mod_count) int32 vectors of `length`.
     """
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
-    )
-    def reduce(pos, cov, mod):
-        local_cov, local_mod = _local_counts(pos, cov, mod, length)
-        return (
-            jax.lax.psum(local_cov, axis),
-            jax.lax.psum(local_mod, axis),
-        )
-
-    return jax.jit(reduce)(
+    return _get_reducer(mesh, length, axis)(
         jnp.asarray(positions), jnp.asarray(covered), jnp.asarray(modded)
     )

@@ -6,8 +6,10 @@ Builds per-site ground truth from a motif scan of the reference genome
 (methylated run's motif sites = positives; every control-run site and
 non-motif site = negatives), scores sites by methylation percentage, and
 reports ROC-AUC and average precision at coverage thresholds 1 and 5
-(cal_EcoliDetPerf.py:241-281), with ROC/PR PNGs and the binomial
-log-pmf column (:114).
+(cal_EcoliDetPerf.py:241-281), with ROC/PR PNGs. The reference also
+computes a per-site binomial log-pmf column (:114) that nothing — in
+the reference either — ever reads back; it is omitted here rather than
+paying one scipy call per site for a dead column.
 """
 
 from __future__ import annotations
@@ -96,18 +98,7 @@ def ecoli_performance(
     labels: List[int] = []
     scores: List[int] = []
     coverages: List[int] = []
-    is_motif: List[bool] = []
-    logp: List[float] = []
     tp = fp = tn = fn = 0
-    try:
-        from scipy.stats import binom
-
-        def binom_logpmf(mod, cov):
-            with np.errstate(divide="ignore"):
-                return float(np.log(binom.pmf(mod, cov, 0.05)))
-    except Exception:  # pragma: no cover
-        def binom_logpmf(mod, cov):
-            return 0.0
 
     for source, pos_label in ((ctrl_sites, 0), (mod_sites, 1)):
         for (chr_, pos, strand), (cov, pct, mod) in source.items():
@@ -116,8 +107,6 @@ def ecoli_performance(
             labels.append(label)
             scores.append(pct)
             coverages.append(cov)
-            is_motif.append(at_motif)
-            logp.append(binom_logpmf(mod, cov))
             if label == 0:
                 tn += cov - mod
                 fp += mod

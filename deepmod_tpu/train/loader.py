@@ -52,9 +52,15 @@ class TestSplit:
 
 
 def find_feature_files(
-    folder: str, recursive: bool = True, split: Optional[TestSplit] = None
+    folder: str, recursive: bool = True, split: Optional[TestSplit] = None,
+    for_test: bool = False,
 ) -> List[str]:
-    """Glob feature files; apply the P-mode file split (:234-247)."""
+    """Glob feature files; apply the P-mode file split (:234-247).
+
+    P-mode with for_test=True returns the exact COMPLEMENT of the
+    training slice — the held-out files (the reference never wired its
+    test path up, so this side is defined here, not there).
+    """
     files = globmod.glob(os.path.join(folder, "*.xy.gz"))
     if recursive:
         for depth in ("*/", "*/*/", "*/*/*/", "*/*/*/*/"):
@@ -68,10 +74,16 @@ def find_feature_files(
                 )
     files = sorted(files)
     if split and split.mode == "P":
+        # train slice replicates myMultiBiRNN.py:244-247 exactly
+        # (including the fraction<=0.5, n==0 whole-list quirk)
         if split.fraction > 0.5:
-            files = files[: int(len(files) * split.fraction)]
+            train = files[: int(len(files) * split.fraction)]
         else:
-            files = files[-int(len(files) * split.fraction) :]
+            train = files[-int(len(files) * split.fraction) :]
+        if for_test:
+            train_set = set(train)
+            return [f for f in files if f not in train_set]
+        return train
     return files
 
 
@@ -94,8 +106,9 @@ def load_feature_file(
     """
     mdata = _read_matrix(path)
     if len(mdata) == 0:
+        fnum = max(mdata.shape[1] - 3, 0) if mdata.ndim > 1 else 0
         return (
-            np.empty((0, window_size, mdata.shape[1] - 3 if mdata.ndim > 1 else 0), np.float32),
+            np.empty((0, window_size, fnum), np.float32),
             np.empty((0, 2), np.int64),
         )
     t0 = mdata[:, 0].astype(np.int64)
@@ -150,6 +163,7 @@ def iterate_training_batches(
     split: Optional[TestSplit] = None,
     chunk_files: int = 25,
     rebalance: bool = True,
+    progress: Optional[dict] = None,
 ) -> Iterator[List[Tuple[np.ndarray, np.ndarray]]]:
     """Yield interleaved minibatch groups, group 0 driving the epoch.
 
@@ -158,6 +172,10 @@ def iterate_training_batches(
     0, split into minibatches; give every other group the same number of
     minibatches (cycling through its files); yield one list per step with
     one (X, Y) minibatch per group.
+
+    ``progress`` (optional dict) gets ``files_consumed`` set to group 0's
+    file cursor after each super-batch — the unit the reference's
+    mid-epoch checkpoint trigger counts (myMultiBiRNN.py:210-214).
     """
     n_groups = len(file_groups)
     cursors = [0] * n_groups
@@ -166,9 +184,13 @@ def iterate_training_batches(
         xs, ys = [], []
         rows = 0
         files = file_groups[group]
+        read_since_progress = 0
         while rows < min_rows:
             if cursors[group] >= len(files):
-                if wrap and len(files) > 0:
+                if wrap and len(files) > 0 and read_since_progress < len(files):
+                    # stop wrapping after a full pass with zero labeled
+                    # rows (e.g. every row held out by the split) — the
+                    # loop must not re-read the same files forever
                     cursors[group] = 0
                 else:
                     break
@@ -178,6 +200,9 @@ def iterate_training_batches(
                 xs.append(x)
                 ys.append(y)
                 rows += len(y)
+                read_since_progress = 0
+            else:
+                read_since_progress += 1
         if not xs:
             return (
                 np.empty((0, window_size, 0), np.float32),
@@ -204,6 +229,8 @@ def iterate_training_batches(
                 )
             else:
                 others.append(None)
+        if progress is not None:
+            progress["files_consumed"] = cursors[0]
         for i in range(n_batches):
             step = [(x0_parts[i], y0_parts[i])]
             for grp in others:

@@ -60,9 +60,18 @@ class TrainState:
         self.config = config
 
 
-def _pad_to(batch_x: np.ndarray, batch_y: np.ndarray, multiple: int):
+def _pad_to(batch_x: np.ndarray, batch_y: np.ndarray, multiple: int,
+            bucket: int = 256):
+    """Pad a minibatch up to a shard-divisible BUCKET boundary.
+
+    np.array_split hands the train loop slightly-varying sizes (2083,
+    2084, arbitrary tails); padding only to `multiple` would compile a
+    fresh XLA step per distinct size. Rounding up to ``bucket`` bounds
+    the set of compiled shapes to a handful for the whole run."""
     n = len(batch_y)
-    target = max(((n + multiple - 1) // multiple) * multiple, multiple)
+    q = max(bucket, multiple)
+    target = ((max(n, 1) + q - 1) // q) * q
+    target = ((target + multiple - 1) // multiple) * multiple
     if target == n:
         mask = np.ones(n, np.float32)
         return batch_x, batch_y, mask
@@ -189,15 +198,16 @@ def train_run(
 
     for epoch in range(1, config.epochs + 1):
         step_count = 0
-        drove = 0
         epoch_files = len(file_groups[0])
         saved_half = False
+        progress: Dict[str, int] = {"files_consumed": 0}
         io_mark = time.time()
         for group_batches in iterate_training_batches(
             file_groups,
             batch_size=config.batch_size,
             window_size=config.window_size,
             split=split,
+            progress=progress,
         ):
             io_time += time.time() - io_mark
             for bx, by in group_batches:
@@ -221,9 +231,11 @@ def train_run(
                     f"p={m['p']:.3f} r={m['r']:.3f} io={m['io_frac']:.2f}",
                     flush=True,
                 )
-            # mid-epoch checkpoint at ~50% (myMultiBiRNN.py:210-214)
-            drove += 1
-            if not saved_half and epoch_files and drove >= epoch_files // 2 > 0:
+            # mid-epoch checkpoint at ~50% of group-0 FILES consumed —
+            # the reference's unit (myMultiBiRNN.py:210-214); a step
+            # counter drifts with rows-per-file and can fire never/early
+            if (not saved_half and epoch_files
+                    and progress["files_consumed"] >= epoch_files // 2 > 0):
                 half_dir = os.path.join(config.out_folder, f"{epoch - 1}.50")
                 os.makedirs(half_dir, exist_ok=True)
                 save_bilstm_npz(

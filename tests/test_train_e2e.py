@@ -119,6 +119,61 @@ def test_region_split(features):
     assert len(y_test) == len(y_all)
 
 
+def test_iterator_terminates_when_wrap_group_is_empty(features, tmp_path):
+    """A wrap-enabled secondary group whose every file yields ZERO rows
+    must not spin forever re-reading the same files
+    (full-pass-without-progress guard)."""
+    from deepmod_tpu.train.loader import iterate_training_batches
+
+    base, results = features
+    files = list(results["mod"].feature_files)
+    # group 1's only file is an empty matrix: every wrap pass yields
+    # zero rows, so without the guard load_until loops forever
+    import gzip
+
+    empty = str(tmp_path / "empty.xy.gz")
+    with gzip.open(empty, "wb") as fh:
+        fh.write(b"")
+    steps = 0
+    for batch in iterate_training_batches(
+        [files, [empty]], batch_size=64, window_size=21
+    ):
+        steps += 1
+        assert steps < 10_000
+    assert steps > 0
+
+
+def test_iterator_progress_reports_files(features):
+    from deepmod_tpu.train.loader import iterate_training_batches
+
+    base, results = features
+    files = list(results["mod"].feature_files)
+    progress = {}
+    for _ in iterate_training_batches(
+        [files], batch_size=64, window_size=21, progress=progress
+    ):
+        pass
+    assert progress["files_consumed"] == len(files)
+
+
+def test_p_split_test_files_are_complement(features, tmp_path):
+    """P-mode: for_test=True returns exactly the files the train slice
+    excludes (the reference never wired this side up)."""
+    d = tmp_path / "pfiles"
+    d.mkdir()
+    names = []
+    for i in range(10):
+        p = d / f"f{i:02d}.xy.gz"
+        p.write_bytes(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03\x03\x00\x00\x00\x00\x00\x00\x00\x00\x00")
+        names.append(str(p))
+    split = TestSplit.parse("P,90")
+    train = find_feature_files(str(d), False, split)
+    test = find_feature_files(str(d), False, split, for_test=True)
+    assert len(train) == 9 and len(test) == 1
+    assert sorted(train + test) == sorted(names)
+    assert not set(train) & set(test)
+
+
 def test_training_learns_signal(features, tmp_path):
     base, results = features
     mod_files = find_feature_files(results["mod"].out_folder)
