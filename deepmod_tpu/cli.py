@@ -235,7 +235,18 @@ def cmd_predfeatures(args) -> int:
                                for_test=True)
         )
     if not files:
-        print("no feature files found", file=sys.stderr)
+        if split is not None and any(
+            find_feature_files(folder, bool(args.recursive))
+            for folder in args.wrkBase.split(",")
+        ):
+            print(
+                "feature files exist but the --test split leaves an "
+                "empty held-out set (P-mode file counts truncate like "
+                "the reference: int(n_files * fraction))",
+                file=sys.stderr,
+            )
+        else:
+            print("no feature files found", file=sys.stderr)
         return 1
     out = os.path.join(args.outFolder, f"{args.FileID}_mpred.txt")
     os.makedirs(args.outFolder, exist_ok=True)

@@ -61,22 +61,24 @@ def _pad_weights(kernel: jnp.ndarray, in_dim: int, h: int):
 
 
 # bf16 mode evaluates sigmoid(x) as 0.5*tanh(0.5*x)+0.5 (exact identity,
-# one native transcendental). The inner 0.5*x and the f-gate's
-# forget_bias are folded INTO the weights/bias at prep time: scaling by
-# 0.5 is a pure exponent shift (exact in fp32 and bf16), so the tanh
-# argument is bit-identical while the kernel drops one multiply per
-# sigmoid and the forget-bias add — ~4 VPU ops per cell step.
-def _prescale_ifo(wx, wh, b, forget_bias):
+# one native transcendental). The inner 0.5*x is folded INTO the i/f/o
+# weight+bias columns at prep time: scaling every addend of the fp32
+# gate accumulation by 0.5 is a pure exponent shift, so the scaled sum
+# is bit-exactly 0.5x the unscaled one and the kernel drops one multiply
+# per sigmoid. The f-gate's forget_bias is NOT folded into the bias —
+# fl(0.5b + 0.5fb) associates differently from the original
+# fl(fl(gates+b)+fb) and could drift 1 ulp; the kernel instead adds the
+# pre-halved fb as the same in-order step the unscaled form used
+# (fl(f_scaled + 0.5fb) == 0.5*fl(f + fb) exactly).
+def _prescale_ifo(wx, wh, b):
     import numpy as np
 
     # i, j(stays tanh-input, unscaled), f, o
     scale = np.repeat(np.asarray([0.5, 1.0, 0.5, 0.5]), LANE)
-    b_shift = np.zeros((GATES,))
-    b_shift[2 * LANE : 3 * LANE] = 0.5 * forget_bias
     return (
         wx * scale.astype(wx.dtype),
         wh * scale.astype(wh.dtype),
-        b * scale.astype(b.dtype) + b_shift.astype(b.dtype),
+        b * scale.astype(b.dtype),
     )
 
 
@@ -85,9 +87,10 @@ def _make_cell(seq_dtype, forget_bias):
 
     bf16 mode: sigmoid(x) == 0.5*tanh(x/2)+0.5 exactly — one native
     transcendental instead of exp+divide (~19% on this VPU-heavy kernel).
-    The inner x/2 and the f-gate's forget_bias arrive PRE-FOLDED into the
-    weights/bias (_prescale_ifo; exact exponent-shift scaling), so the
-    kernel applies only the outer 0.5*t+0.5. fp32 stays exp-based and
+    The inner x/2 arrives PRE-FOLDED into the i/f/o weight and bias
+    columns (_prescale_ifo; exact exponent-shift scaling); the f-gate
+    adds the pre-halved forget_bias in-kernel with the original
+    association (see _prescale_ifo comment). fp32 stays exp-based and
     unscaled for bit-compatibility with the XLA scan path.
     """
     prescaled = seq_dtype == jnp.bfloat16
@@ -107,7 +110,10 @@ def _make_cell(seq_dtype, forget_bias):
         o = gates[:, 3 * LANE : 4 * LANE]
         if prescaled:
             s_i = 0.5 * jnp.tanh(i) + 0.5
-            s_f = 0.5 * jnp.tanh(f) + 0.5  # forget_bias folded into bias
+            # f arrives pre-halved; adding the pre-halved forget_bias
+            # here (same association as the unscaled form) keeps the
+            # tanh argument bit-exactly 0.5*(f_unscaled + forget_bias)
+            s_f = 0.5 * jnp.tanh(f + 0.5 * forget_bias) + 0.5
             s_o = 0.5 * jnp.tanh(o) + 0.5
         else:
             s_i = jax.nn.sigmoid(i)
@@ -396,6 +402,10 @@ def bilstm_fused_center_mono(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert timesteps % 2 == 1, "mono kernel requires odd T"
+    assert timesteps // 2 + 1 <= 32, (
+        "mono kernel statically unrolls its steps; use the layered "
+        "kernel (bilstm_fused_center) for T > 63"
+    )
     seq_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     if tile_b is None:
         # measured on v5e (scripts/probe_mono.py): bf16 384 > 512 > 256;
@@ -424,7 +434,7 @@ def bilstm_fused_center_mono(
             )
             b = _pad_gate_blocks(jnp.asarray(lp["bias"]), h)[None, :]
             if seq_dtype == jnp.bfloat16:
-                wx, wh, b = _prescale_ifo(wx, wh, b, forget_bias)
+                wx, wh, b = _prescale_ifo(wx, wh, b)
             w_args.extend([wx, wh, b])
 
     grid = (batch_p // tile_b,)
@@ -498,12 +508,15 @@ def bilstm_fused_center(
     roughly halves HBM traffic and doubles MXU rate at a small accuracy
     cost; fp32 is bit-compatible with the XLA scan path.
 
-    Odd T routes through the mono kernel (whole stack in one pallas_call,
-    inter-layer sequences VMEM-resident) — bit-identical to the layered
-    kernel and measured faster (scripts/probe_mono.py: +1% bf16, +6%
-    fp32). Even T keeps the per-layer kernels.
+    Odd T (up to 25) routes through the mono kernel (whole stack in one
+    pallas_call, inter-layer sequences VMEM-resident) — bit-identical to
+    the layered kernel and measured faster (scripts/probe_mono.py: +1%
+    bf16, +6% fp32). Larger or even T keeps the per-layer kernels: the
+    mono kernel's 4 sequence scratch buffers + input block outgrow the
+    16M scoped-VMEM limit around T~31 at its default tiles, and its
+    static unroll has no fori_loop fallback past 32 steps.
     """
-    if timesteps % 2 == 1 and tile_b is None:
+    if timesteps % 2 == 1 and timesteps <= 25 and tile_b is None:
         return bilstm_fused_center_mono(
             params, x, num_layers=num_layers, num_hidden=num_hidden,
             timesteps=timesteps, forget_bias=forget_bias,
@@ -543,8 +556,8 @@ def bilstm_fused_center(
         b_fw = _pad_gate_blocks(jnp.asarray(lp_fw["bias"]), h)[None, :]
         b_bw = _pad_gate_blocks(jnp.asarray(lp_bw["bias"]), h)[None, :]
         if seq_dtype == jnp.bfloat16:
-            wx_fw, wh_fw, b_fw = _prescale_ifo(wx_fw, wh_fw, b_fw, forget_bias)
-            wx_bw, wh_bw, b_bw = _prescale_ifo(wx_bw, wh_bw, b_bw, forget_bias)
+            wx_fw, wh_fw, b_fw = _prescale_ifo(wx_fw, wh_fw, b_fw)
+            wx_bw, wh_bw, b_bw = _prescale_ifo(wx_bw, wh_bw, b_bw)
         # odd-T: the final layer stores ONLY the center row (its sequence
         # is never read back); even-T needs two different rows, keep all
         final = (layer == num_layers - 1) and timesteps % 2 == 1

@@ -69,20 +69,11 @@ class DetectService:
             if results:
                 import numpy as np
 
-                pad = 100
-                blocks = [r.features for r in results]
-                feats = np.concatenate(blocks, axis=0)
-                centers = []
-                offset = 0
-                for r in results:
-                    centers.append(
-                        offset + pad + np.arange(r.n_aligned, dtype=np.int64)
-                    )
-                    offset += len(r.features)
-                preds = self.predictor.predict_from_features(
-                    feats, np.concatenate(centers),
-                    window=self.predictor.config.timesteps,
-                )
+                from deepmod_tpu.engine.detect import predict_batch_windows
+
+                # the same device stage the detect engine runs — one
+                # implementation, so windowing fixes cannot diverge
+                preds = predict_batch_windows(results, self.predictor)
                 off = 0
                 for r in results:
                     p = preds[off : off + r.n_aligned]

@@ -199,10 +199,12 @@ def test_fused_pallas_bf16_close_to_fp32(small_setup):
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
 
 
-def test_mono_kernel_bit_identical_to_layered(small_setup):
+@pytest.mark.parametrize("wavefront", [False, True])
+def test_mono_kernel_bit_identical_to_layered(small_setup, wavefront):
     """Whole-stack mono kernel (one pallas_call, VMEM inter-layer
     sequences) must be BIT-identical to the per-layer kernel in both
-    precisions — same cell math, same order, only the buffering moved."""
+    precisions and both schedules (sequential and layer-wavefront) —
+    same cell math, same order, only the buffering/schedule moved."""
     config, params, x = small_setup
     from deepmod_tpu.ops.bilstm_fused import (
         bilstm_fused_center,
@@ -213,7 +215,7 @@ def test_mono_kernel_bit_identical_to_layered(small_setup):
         got = np.asarray(
             bilstm_fused_center_mono(
                 params, jnp.asarray(x), tile_b=8, interpret=True,
-                precision=precision,
+                precision=precision, wavefront=wavefront,
             )
         )
         want = np.asarray(
@@ -226,7 +228,8 @@ def test_mono_kernel_bit_identical_to_layered(small_setup):
 
 
 @pytest.mark.parametrize("timesteps,num_layers", [(21, 1), (11, 3), (5, 2)])
-def test_mono_kernel_odd_depths(timesteps, num_layers):
+@pytest.mark.parametrize("wavefront", [False, True])
+def test_mono_kernel_odd_depths(timesteps, num_layers, wavefront):
     from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center_mono
     from deepmod_tpu.models.bilstm import bilstm_center_features
 
@@ -238,8 +241,24 @@ def test_mono_kernel_odd_depths(timesteps, num_layers):
     got = np.asarray(
         bilstm_fused_center_mono(
             params, x, num_layers=num_layers, timesteps=timesteps,
-            tile_b=8, interpret=True,
+            tile_b=8, interpret=True, wavefront=wavefront,
         )
+    )
+    want = np.asarray(bilstm_center_features(params, x, config))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_center_large_window_routes_to_layered():
+    """Odd T beyond the mono kernel's VMEM/unroll envelope (25) must fall
+    back to the per-layer kernels and still match the scan path."""
+    from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center
+    from deepmod_tpu.models.bilstm import bilstm_center_features
+
+    config = BiLSTMConfig(num_input=7, num_hidden=100, timesteps=49)
+    params = init_bilstm_params(jax.random.PRNGKey(4), config)
+    x = jax.random.normal(jax.random.PRNGKey(5), (9, 49, 7), jnp.float32)
+    got = np.asarray(
+        bilstm_fused_center(params, x, timesteps=49, tile_b=8, interpret=True)
     )
     want = np.asarray(bilstm_center_features(params, x, config))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
