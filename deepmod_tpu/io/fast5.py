@@ -26,7 +26,7 @@ from .events import (
     move_table_events,
     resegment_events,
 )
-from .signal_norm import SignalRangeError, event_mean_std, normalize_signal
+from .signal_norm import SignalRangeError, normalize_and_event_stats
 
 # HDF5 path fragments (myCom.py:51-56, myDetect.py:31-37)
 CHANNEL_PATH = "UniqueGlobalKey/channel_id"
@@ -192,8 +192,9 @@ def _ingest_read(
 
     span_start = int(m_event["start"][0])
     span_end = int(m_event["start"][-1] + m_event["length"][-1])
-    raw_signals = normalize_signal(raw_signals, span_start, span_end, in_place=True)
-    m_event, n_valid = event_mean_std(m_event, raw_signals)
+    raw_signals, m_event, n_valid = normalize_and_event_stats(
+        m_event, raw_signals, span_start, span_end, in_place=True
+    )
     if n_valid < len(basecall):
         basecall = basecall[:n_valid]
 

@@ -53,6 +53,39 @@ def normalize_signal(
     return np.round(np.clip(raw, lower, upper), 3)
 
 
+def normalize_and_event_stats(
+    m_event: np.ndarray, raw_signals: np.ndarray,
+    span_start: int, span_end: int, in_place: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Fused ``normalize_signal`` + ``event_mean_std`` for the ingestion
+    hot path: one native call per read instead of a normalize pass plus a
+    python re-quantization and two full-signal cumulative sums.
+
+    Returns (normalized_signals, m_event, n_valid) — identical results to
+    calling the two functions in sequence (pinned by tests/test_native.py).
+    """
+    if span_end > span_start:
+        from deepmod_tpu.native.lib import normalize_event_stats_native
+
+        fused = normalize_event_stats_native(
+            raw_signals, span_start, span_end,
+            m_event["start"], m_event["length"], in_place=in_place,
+        )
+        if fused is not None:
+            sig, means, stds, n_valid = fused
+            if n_valid < 0:
+                raise SignalRangeError("Less event")
+            out = m_event[:n_valid].copy()
+            out["mean"] = means[:n_valid]
+            out["stdv"] = stds[:n_valid]
+            return sig, out, n_valid
+    sig = normalize_signal(
+        raw_signals, span_start, span_end, in_place=in_place
+    )
+    m_event, n_valid = event_mean_std(m_event, sig)
+    return sig, m_event, n_valid
+
+
 def event_mean_std(
     m_event: np.ndarray, raw_signals: np.ndarray
 ) -> Tuple[np.ndarray, int]:

@@ -95,8 +95,171 @@ static double median_of(std::vector<double>& v) {
   return 0.5 * (v[mid - 1] + hi);
 }
 
+// Fast path for the normalization statistics. Raw fast5 signals are int16
+// DAC values widened to double, so the two pre-normalization selections
+// (median, then median absolute deviation) reduce to one histogram fill
+// plus O(range) walks instead of four O(n) nth_element passes. The two
+// POST-normalization statistics are then analytically exact:
+//   med(y) == 0.0 bitwise: order statistics commute with the monotone map
+//     y = fl(fl(x - shift)/scale); for odd spans the median element is
+//     x == shift -> 0/scale == 0.0, and for even spans the two middle
+//     y values are exact negations of each other (IEEE subtraction and
+//     division are symmetric under negation), so 0.5*(a + (-a)) == 0.0.
+//   mad(y) == the |x-shift| order statistics pushed through fl(b/scale)
+//     (|fl(z)| == fl(|z|) by rounding symmetry; fl(b/scale) is monotone
+//     non-decreasing in b), i.e. fl(b_mid/scale) for odd spans (== 1.0,
+//     since b_mid == scale) and 0.5*(fl(b_lo/scale) + fl(b_hi/scale))
+//     for even spans.
+// Returns false (caller must run the literal pass-for-pass legacy path)
+// when the span is empty/non-integer/too wide or the scale is degenerate.
+struct NormStats {
+  double shift, scale, lo, hi;
+};
+
+// Histogram selection for integer-valued spans: fills (shift, b_lo, b_hi)
+// where b_lo/b_hi are the mid-1/mid order statistics of |x - shift|
+// (b_lo only set for even spans). Returns false for non-integer data or
+// ranges too wide to bin.
+static bool int_hist_select(const double* s, int64_t m, double* shift_out,
+                            double* b_lo_out, double* b_hi_out) {
+  double mn = s[0], mx = s[0];
+  for (int64_t i = 0; i < m; ++i) {
+    const double v = s[i];
+    if (!std::isfinite(v) || v != std::floor(v)) return false;
+    if (v < mn) mn = v;
+    if (v > mx) mx = v;
+  }
+  if (mx - mn > (double)(1 << 20)) return false;
+  const int64_t base = (int64_t)mn;
+  const int64_t range = (int64_t)mx - base + 1;
+  std::vector<int32_t> cnt(range, 0);
+  for (int64_t i = 0; i < m; ++i) ++cnt[(int64_t)s[i] - base];
+
+  // order statistics mid-1 (even spans) and mid of x
+  const int64_t mid = m / 2;
+  const bool even = (m % 2) == 0;
+  int64_t acc = 0, lo_v = -1, hi_v = -1;
+  for (int64_t b = 0; b < range; ++b) {
+    acc += cnt[b];
+    if (lo_v < 0 && even && acc >= mid) lo_v = b;
+    if (acc >= mid + 1) { hi_v = b; break; }
+  }
+  const double shift =
+      even ? 0.5 * ((double)(lo_v + base) + (double)(hi_v + base))
+           : (double)(hi_v + base);
+
+  // order statistics mid-1/mid of |x - shift| via an outward walk from
+  // the shift. shift is integral or half-integral; both give exact
+  // distance values.
+  double b_lo = -1.0, b_hi = -1.0;
+  acc = 0;
+  const bool half = shift != std::floor(shift);
+  const int64_t c = (int64_t)std::floor(shift) - base;  // center bin
+  for (int64_t d = 0; b_hi < 0.0; ++d) {
+    int64_t group;
+    double dist;
+    if (half) {
+      const int64_t l = c - d, r = c + 1 + d;
+      group = (l >= 0 && l < range ? cnt[l] : 0) +
+              (r >= 0 && r < range ? cnt[r] : 0);
+      dist = (double)d + 0.5;
+    } else if (d == 0) {
+      group = (c >= 0 && c < range) ? cnt[c] : 0;
+      dist = 0.0;
+    } else {
+      const int64_t l = c - d, r = c + d;
+      group = (l >= 0 && l < range ? cnt[l] : 0) +
+              (r >= 0 && r < range ? cnt[r] : 0);
+      dist = (double)d;
+    }
+    acc += group;
+    if (b_lo < 0.0 && even && acc >= mid) b_lo = dist;
+    if (acc >= mid + 1) b_hi = dist;
+    if (d > range) return false;  // unreachable; guards the loop
+  }
+  *shift_out = shift;
+  *b_lo_out = b_lo;
+  *b_hi_out = b_hi;
+  return true;
+}
+
+// nth_element selection for arbitrary finite spans: same outputs as
+// int_hist_select. Two selections (median of x, then median of
+// |x - shift|) instead of the legacy path's four.
+static bool float_select(const double* s, int64_t m, double* shift_out,
+                         double* b_lo_out, double* b_hi_out) {
+  for (int64_t i = 0; i < m; ++i)
+    if (!std::isfinite(s[i])) return false;
+  const int64_t mid = m / 2;
+  const bool even = (m % 2) == 0;
+  std::vector<double> v(s, s + m);
+  std::nth_element(v.begin(), v.begin() + mid, v.end());
+  const double x_b = v[mid];
+  double x_a = x_b;
+  if (even) {
+    std::nth_element(v.begin(), v.begin() + mid - 1, v.begin() + mid);
+    x_a = v[mid - 1];
+  }
+  double shift;
+  if (even) {
+    // the analytic med/mad shortcut needs the two middle values'
+    // midpoint to be an EXACT sum (TwoSum error == 0); otherwise the
+    // normalized span's median is not exactly 0 and the legacy path
+    // must run
+    const double sum = x_a + x_b;
+    const double ap = sum - x_b, bp = sum - ap;
+    if ((x_a - ap) + (x_b - bp) != 0.0) return false;
+    shift = 0.5 * sum;
+  } else {
+    shift = x_b;
+  }
+  for (int64_t i = 0; i < m; ++i) v[i] = std::fabs(s[i] - shift);
+  std::nth_element(v.begin(), v.begin() + mid, v.end());
+  *b_hi_out = v[mid];
+  *b_lo_out = -1.0;
+  if (even) {
+    std::nth_element(v.begin(), v.begin() + mid - 1, v.begin() + mid);
+    *b_lo_out = v[mid - 1];
+  }
+  *shift_out = shift;
+  return true;
+}
+
+static bool fast_norm_stats(const double* x, int64_t span_start,
+                            int64_t span_end, NormStats* out) {
+  const int64_t m = span_end - span_start;
+  if (m <= 0) return false;
+  const double* s = x + span_start;
+  double shift, b_lo, b_hi;
+  if (!int_hist_select(s, m, &shift, &b_lo, &b_hi) &&
+      !float_select(s, m, &shift, &b_lo, &b_hi))
+    return false;
+  const bool even = (m % 2) == 0;
+  const double scale = even ? 0.5 * (b_lo + b_hi) : b_hi;
+  if (!(scale > 0.0) || !std::isfinite(scale)) return false;
+  const double mad =
+      even ? 0.5 * (b_lo / scale + b_hi / scale) : b_hi / scale;
+  out->shift = shift;
+  out->scale = scale;
+  // med(y) == 0.0 exactly; replicate `med - mad*5` / `med + mad*5`
+  out->lo = 0.0 - mad * 5;
+  out->hi = 0.0 + mad * 5;
+  return true;
+}
+
 void dmt_normalize_signal(double* signal, int64_t n, int64_t span_start,
                           int64_t span_end) {
+  NormStats st;
+  if (fast_norm_stats(signal, span_start, span_end, &st)) {
+    for (int64_t i = 0; i < n; ++i) {
+      double v = (signal[i] - st.shift) / st.scale;
+      if (v < st.lo) v = st.lo;
+      else if (v > st.hi) v = st.hi;
+      const double r = std::nearbyint(v * 1000.0);  // half-even
+      signal[i] = r / 1000.0;
+    }
+    return;
+  }
   std::vector<double> span(signal + span_start, signal + span_end);
   const double shift = median_of(span);
   for (auto& v : span) v = std::fabs(v - shift);
@@ -116,6 +279,96 @@ void dmt_normalize_signal(double* signal, int64_t n, int64_t span_start,
     double r = std::nearbyint(scaled);  // assumes FE_TONEAREST (half-even)
     signal[i] = r / 1000.0;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Fused normalization + event statistics: one call per read instead of a
+// normalize pass, a python re-quantization (round(signal*1000)), and two
+// full-signal int64 cumulative sums. The normalization is operation-for-
+// operation dmt_normalize_signal (the rounded float64 signal is still
+// produced in place — downstream consumers read it), but the final
+// rounding loop also captures the exact milli-unit integers the event
+// stats need, and the per-event moments come from direct segment sums
+// over that buffer (exact integer arithmetic, same half-even roundings
+// as dmt_event_stats / io.signal_norm.event_mean_std).
+// Returns n_valid (possibly truncated), or -1 for the "Less event"
+// rejection. The signal is normalized in place in every case.
+int64_t dmt_normalize_event_stats(double* signal, int64_t n,
+                                  int64_t span_start, int64_t span_end,
+                                  const uint64_t* starts,
+                                  const uint64_t* lengths, int64_t n_events,
+                                  float* means_out, float* stds_out) {
+  std::vector<int32_t> milli(n);
+  NormStats st;
+  if (fast_norm_stats(signal, span_start, span_end, &st)) {
+    for (int64_t i = 0; i < n; ++i) {
+      double v = (signal[i] - st.shift) / st.scale;
+      if (v < st.lo) v = st.lo;
+      else if (v > st.hi) v = st.hi;
+      const double r = std::nearbyint(v * 1000.0);  // half-even
+      signal[i] = r / 1000.0;
+      // span values are finite by construction (scale > 0), but samples
+      // OUTSIDE the span were never integrality-checked
+      milli[i] = std::isfinite(r) ? (int32_t)r : 0;
+    }
+  } else {
+    std::vector<double> span(signal + span_start, signal + span_end);
+    const double shift = median_of(span);
+    for (auto& v : span) v = std::fabs(v - shift);
+    const double scale = median_of(span);
+    for (int64_t i = 0; i < n; ++i) signal[i] = (signal[i] - shift) / scale;
+    span.assign(signal + span_start, signal + span_end);
+    const double med = median_of(span);
+    for (auto& v : span) v = std::fabs(v - med);
+    const double mad = median_of(span);
+    const double lo = med - mad * 5, hi = med + mad * 5;
+    for (int64_t i = 0; i < n; ++i) {
+      double v = signal[i];
+      if (v < lo) v = lo;
+      else if (v > hi) v = hi;
+      const double r = std::nearbyint(v * 1000.0);  // half-even, FE_TONEAREST
+      signal[i] = r / 1000.0;
+      // non-finite only on degenerate reads (zero-MAD span); such reads
+      // produce garbage stats on the numpy path too — any finite stand-in
+      // avoids the UB of casting NaN
+      milli[i] = std::isfinite(r) ? (int32_t)r : 0;
+    }
+  }
+  int64_t n_valid = n_events;
+  for (int64_t i = 0; i < n_events; ++i) {
+    const int64_t s = std::min<int64_t>((int64_t)starts[i], n);
+    const int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n);
+    if (e <= s) {
+      if (i > 500) {
+        n_valid = i - 1;  // truncate (myDetect.py:337-339)
+        break;
+      }
+      return -1;  // "Less event"
+    }
+  }
+  for (int64_t i = 0; i < n_valid; ++i) {
+    const int64_t s = std::min<int64_t>((int64_t)starts[i], n);
+    const int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n);
+    const int64_t cnt = e - s;
+    int64_t seg_sum = 0, seg_sum2 = 0;
+    for (int64_t j = s; j < e; ++j) {
+      const int64_t v = milli[j];
+      seg_sum += v;
+      seg_sum2 += v * v;
+    }
+    int64_t q = seg_sum / cnt;
+    int64_t r = seg_sum % cnt;
+    if (r < 0) { q -= 1; r += cnt; }  // floor division
+    const int64_t twice = 2 * r;
+    if (twice > cnt || (twice == cnt && (q % 2 != 0))) q += 1;
+    means_out[i] = (float)(q / 1000.0);
+    const double exact_mean = (double)seg_sum / (double)cnt;
+    double var = (double)seg_sum2 / (double)cnt - exact_mean * exact_mean;
+    if (var < 0) var = 0;
+    const double std_f = std::sqrt(var) / 1000.0;
+    stds_out[i] = (float)(std::rint(std_f * 1000.0) / 1000.0);
+  }
+  return n_valid;
 }
 
 // ---------------------------------------------------------------------------

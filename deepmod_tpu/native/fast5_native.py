@@ -115,7 +115,7 @@ def read_fast5_native(path: str, options=None):
         _basecall_from_events,
         _version_class,
     )
-    from deepmod_tpu.io.signal_norm import event_mean_std, normalize_signal
+    from deepmod_tpu.io.signal_norm import normalize_and_event_stats
 
     options = options or Fast5ReadOptions()
     lib = _load()
@@ -225,8 +225,9 @@ def read_fast5_native(path: str, options=None):
 
     span_start = int(m_event["start"][0])
     span_end = int(m_event["start"][-1] + m_event["length"][-1])
-    raw_signals = normalize_signal(raw_signals, span_start, span_end, in_place=True)
-    m_event, n_valid = event_mean_std(m_event, raw_signals)
+    raw_signals, m_event, n_valid = normalize_and_event_stats(
+        m_event, raw_signals, span_start, span_end, in_place=True
+    )
     if n_valid < len(basecall):
         basecall = basecall[:n_valid]
 

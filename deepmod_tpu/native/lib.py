@@ -62,6 +62,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.dmt_normalize_event_stats.restype = ctypes.c_int64
+    lib.dmt_normalize_event_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.dmt_global_align.restype = ctypes.c_int
     lib.dmt_global_align.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
@@ -144,6 +152,42 @@ def normalize_signal_native(
         span_start, span_end,
     )
     return sig
+
+
+def normalize_event_stats_native(
+    signal: np.ndarray, span_start: int, span_end: int,
+    starts: np.ndarray, lengths: np.ndarray, in_place: bool = False,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Fused normalize + per-event stats in ONE native pass.
+
+    Returns (normalized_signal, means, stds, n_valid); n_valid is -1 for
+    the 'Less event' rejection (the caller raises — this module cannot
+    import io.signal_norm's exception without a cycle). None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if in_place and isinstance(signal, np.ndarray) and \
+            signal.dtype == np.float64 and signal.flags.c_contiguous:
+        sig = signal
+    else:
+        sig = np.array(signal, np.float64)  # copy; modified in place
+    st = np.ascontiguousarray(starts, np.uint64)
+    ln = np.ascontiguousarray(lengths, np.uint64)
+    n_events = len(st)
+    means = np.empty(n_events, np.float32)
+    stds = np.empty(n_events, np.float32)
+    n_valid = lib.dmt_normalize_event_stats(
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(sig),
+        span_start, span_end,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ln.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_events,
+        means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return sig, means, stds, int(n_valid)
 
 
 def global_align_ops_native(a: str, b: str) -> Optional[List[Tuple[str, int]]]:

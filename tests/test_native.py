@@ -63,14 +63,123 @@ def test_event_stats_stdv_half_milli_tie():
     np.testing.assert_array_equal(stds, want["stdv"])
 
 
-def test_normalize_matches_numpy():
+@pytest.mark.parametrize("span", [(50, 7900), (50, 7901)])  # even, odd
+def test_normalize_matches_numpy(span):
     from deepmod_tpu.io.signal_norm import normalize_signal
 
     rng = np.random.RandomState(1)
     raw = rng.normal(480, 35, 8000)
-    want = normalize_signal(raw, 50, 7900)
-    got = normalize_signal_native(raw, 50, 7900)
-    np.testing.assert_allclose(got, want, atol=1e-9)
+    lo, hi = span
+    want = normalize_signal(raw, lo, hi)
+    got = normalize_signal_native(raw, lo, hi)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_normalize_event_stats_matches_two_step():
+    """The fused native pass == normalize_signal then event_mean_std,
+    bit-for-bit on both the signal and the event moments."""
+    from deepmod_tpu.io.events import EVENT_DTYPE
+    from deepmod_tpu.io.signal_norm import (
+        event_mean_std,
+        normalize_and_event_stats,
+        normalize_signal,
+    )
+    from deepmod_tpu.native.lib import normalize_event_stats_native
+
+    rng = np.random.RandomState(7)
+    raw = rng.normal(480, 35, 9000)
+    m_event = np.zeros(300, EVENT_DTYPE)
+    starts = np.sort(rng.choice(np.arange(40, 8800), 300, replace=False))
+    m_event["start"] = starts
+    m_event["length"] = rng.randint(3, 15, 300)
+    span_start = int(starts[0])
+    span_end = int(starts[-1] + m_event["length"][-1])
+
+    want_sig = normalize_signal(raw, span_start, span_end)
+    want_ev, n_want = event_mean_std(m_event.copy(), want_sig)
+
+    got = normalize_event_stats_native(
+        raw, span_start, span_end, m_event["start"], m_event["length"]
+    )
+    assert got is not None
+    sig, means, stds, n = got
+    assert n == n_want
+    np.testing.assert_array_equal(sig, want_sig)
+    np.testing.assert_array_equal(means[:n], want_ev["mean"])
+    np.testing.assert_array_equal(stds[:n], want_ev["stdv"])
+
+    # the dispatcher returns the same triple
+    sig2, ev2, n2 = normalize_and_event_stats(
+        m_event.copy(), raw, span_start, span_end
+    )
+    assert n2 == n_want
+    np.testing.assert_array_equal(sig2, want_sig)
+    np.testing.assert_array_equal(ev2["mean"], want_ev["mean"])
+    np.testing.assert_array_equal(ev2["stdv"], want_ev["stdv"])
+
+
+@pytest.mark.parametrize("span", [(50, 8551), (50, 8550)])  # odd, even
+def test_normalize_integer_fast_path_matches_numpy(span):
+    """Integer DAC-valued signals take the native histogram/analytic
+    statistics path; it must be bit-identical to the numpy algorithm
+    (which materializes all four medians) for odd AND even span sizes."""
+    from deepmod_tpu.io.signal_norm import normalize_signal
+
+    rng = np.random.RandomState(9)
+    raw = rng.randint(120, 900, 9000).astype(np.float64)
+    lo, hi = span
+    want = normalize_signal(raw, lo, hi)
+    got = normalize_signal_native(raw, lo, hi)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_span", [701, 700])  # odd, even
+def test_fused_integer_fast_path_matches_two_step(n_span):
+    from deepmod_tpu.io.events import EVENT_DTYPE
+    from deepmod_tpu.io.signal_norm import event_mean_std, normalize_signal
+    from deepmod_tpu.native.lib import normalize_event_stats_native
+
+    rng = np.random.RandomState(10)
+    raw = rng.randint(-200, 1200, 4000).astype(np.float64)
+    m_event = np.zeros(100, EVENT_DTYPE)
+    starts = np.sort(rng.choice(np.arange(100, 100 + n_span - 20), 100,
+                                replace=False))
+    m_event["start"] = starts
+    m_event["length"] = rng.randint(2, 12, 100)
+    span_start, span_end = 100, 100 + n_span
+    want_sig = normalize_signal(raw, span_start, span_end)
+    want_ev, n_want = event_mean_std(m_event.copy(), want_sig)
+    got = normalize_event_stats_native(
+        raw, span_start, span_end, m_event["start"], m_event["length"]
+    )
+    sig, means, stds, n = got
+    assert n == n_want
+    np.testing.assert_array_equal(sig, want_sig)
+    np.testing.assert_array_equal(means[:n], want_ev["mean"])
+    np.testing.assert_array_equal(stds[:n], want_ev["stdv"])
+
+
+def test_fused_normalize_event_stats_truncation_and_reject():
+    """Empty slice at index > 500 truncates to i-1; at <= 500 rejects."""
+    from deepmod_tpu.io.events import EVENT_DTYPE
+    from deepmod_tpu.io.signal_norm import (
+        SignalRangeError,
+        normalize_and_event_stats,
+    )
+
+    rng = np.random.RandomState(8)
+    raw = rng.normal(480, 35, 4000)
+    m_event = np.zeros(600, EVENT_DTYPE)
+    m_event["start"] = np.arange(600) * 6
+    m_event["length"] = 6
+    m_event["length"][550] = 0  # empty slice past index 500 -> truncate
+    _, ev, n = normalize_and_event_stats(m_event.copy(), raw.copy(), 0, 3600)
+    assert n == 549 and len(ev) == 549
+
+    m_event["length"][550] = 6
+    m_event["length"][10] = 0  # empty slice at index <= 500 -> reject
+    with pytest.raises(SignalRangeError):
+        normalize_and_event_stats(m_event.copy(), raw.copy(), 0, 3600)
 
 
 def test_global_align_matches_numpy():
