@@ -128,7 +128,11 @@ def synth_signal(
     signal = np.concatenate([lead] + signal_chunks)
     starts = 10 + np.concatenate([[0], np.cumsum(lengths[:-1])])
     move = np.ones(n, np.int64)
-    return signal.astype(np.float32), starts.astype(np.int64), lengths, kmers, move
+    # real fast5 Raw/Signal datasets hold int16 DAC counts (the reference
+    # normalizes those integers directly, myDetect.py:294/266-282);
+    # quantizing keeps the fixture faithful and exercises the native
+    # histogram-median fast path production data takes
+    return np.round(signal).astype(np.int16), starts.astype(np.int64), lengths, kmers, move
 
 
 def write_read_fast5(
