@@ -34,10 +34,12 @@ try:
     from deepmod_tpu.native.lib import (
         global_align_multi_bytes as _native_align_multi,
     )
+    from deepmod_tpu.native.lib import hash_index_native as _native_hash_index
 except Exception:  # pragma: no cover
     _native_minimizers = None
     _native_chain = None
     _native_align_multi = None
+    _native_hash_index = None
 from .sam import SamRecord
 
 _M_BYTE = ord("M")
@@ -147,9 +149,23 @@ class MinimizerIndex:
         self._hashes = hashes[order]
         self._rids = rids[order]
         self._positions = positions[order]
+        # native open-addressing table: O(1)/query vs searchsorted's
+        # O(log n) — the log factor dominates lookups on large genomes
+        self._table = (
+            _native_hash_index(self._hashes)
+            if _native_hash_index is not None
+            else None
+        )
 
     def lookup(self, query_hashes: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """For each query hash, all index hits: (query_idx, rid, rpos)."""
+        if self._table is not None:
+            qidx, src = self._table.lookup(query_hashes, self.max_hits)
+            return (
+                qidx,
+                self._rids[src].astype(np.int64),
+                self._positions[src],
+            )
         left = np.searchsorted(self._hashes, query_hashes, side="left")
         right = np.searchsorted(self._hashes, query_hashes, side="right")
         counts = np.minimum(right - left, self.max_hits)

@@ -576,6 +576,61 @@ int64_t dmt_minimizers(const char* seq, int64_t n, int k, int w,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Open-addressing hash table for minimizer lookup: O(1) per query with 1-2
+// cache misses, vs numpy searchsorted's O(log n) with a miss per level
+// (which dominates the aligner on large genomes). Keys are already
+// splitmix64-mixed, so `key & mask` distributes well; linear probing.
+// The table is three numpy-owned arrays (keys / offsets into the sorted
+// hit arrays / counts); empty slots have count 0 (real counts are >= 1).
+// `cap` must be a power of two with cap > m.
+int dmt_hash_build(const uint64_t* uniq, const int64_t* lefts,
+                   const int32_t* cnts, int64_t m,
+                   uint64_t* tkeys, int64_t* toffs, int32_t* tcnts,
+                   int64_t cap) {
+  const uint64_t mask = (uint64_t)cap - 1;
+  for (int64_t i = 0; i < m; ++i) {
+    uint64_t h = uniq[i] & mask;
+    while (tcnts[h] != 0) h = (h + 1) & mask;
+    tkeys[h] = uniq[i];
+    toffs[h] = lefts[i];
+    tcnts[h] = cnts[i];
+  }
+  return 0;
+}
+
+// For each query hash, emit up to max_hits (query_idx, source_row) pairs
+// where source_row indexes the index's sorted (_rids, _positions) arrays
+// — identical output order to the searchsorted path (first max_hits rows
+// of each hash's run). Output arrays must hold nq*max_hits entries.
+int64_t dmt_hash_lookup(const uint64_t* tkeys, const int64_t* toffs,
+                        const int32_t* tcnts, int64_t cap,
+                        const uint64_t* queries, int64_t nq,
+                        int64_t max_hits,
+                        int64_t* qidx_out, int64_t* src_out) {
+  const uint64_t mask = (uint64_t)cap - 1;
+  int64_t total = 0;
+  for (int64_t i = 0; i < nq; ++i) {
+    const uint64_t q = queries[i];
+    uint64_t h = q & mask;
+    while (tcnts[h] != 0) {
+      if (tkeys[h] == q) {
+        int64_t c = tcnts[h];
+        if (c > max_hits) c = max_hits;
+        const int64_t off = toffs[h];
+        for (int64_t j = 0; j < c; ++j) {
+          qidx_out[total] = i;
+          src_out[total] = off + j;
+          ++total;
+        }
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  return total;
+}
+
 // CpG indel canonicalization (myDetect.py:680-700): the full sequential
 // scan of the reference — each swap is visible to later positions.
 // Codes are ASCII bytes; '-' marks a read gap.

@@ -100,6 +100,21 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.dmt_hash_build.restype = ctypes.c_int
+    lib.dmt_hash_build.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.dmt_hash_lookup.restype = ctypes.c_int64
+    lib.dmt_hash_lookup.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -316,6 +331,81 @@ def minimizers_native(
         hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return pos[:count].copy(), hashes[:count].copy()
+
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+class HashIndexNative:
+    """Open-addressing minimizer-hash table over a sorted hit array.
+
+    ``build(sorted_hashes)`` derives unique runs in numpy, sizes the table
+    to the next power of two above 2x the unique count, and fills it in C.
+    ``lookup(queries, max_hits)`` returns (query_idx, source_row) pairs,
+    source_row indexing the ORIGINAL sorted arrays — output-identical to
+    the two-searchsorted ragged expansion it replaces.
+    """
+
+    __slots__ = ("_keys", "_offs", "_cnts", "_cap")
+
+    def __init__(self, sorted_hashes: np.ndarray):
+        lib = _load()
+        assert lib is not None
+        n = len(sorted_hashes)
+        if n == 0:
+            uniq = np.empty(0, np.uint64)
+            lefts = np.empty(0, np.int64)
+            counts = np.empty(0, np.int64)
+        else:
+            starts = np.concatenate(
+                [[0], np.flatnonzero(sorted_hashes[1:] != sorted_hashes[:-1]) + 1]
+            )
+            uniq = np.ascontiguousarray(sorted_hashes[starts])
+            lefts = np.ascontiguousarray(starts, np.int64)
+            counts = np.diff(np.concatenate([starts, [n]]))
+        m = len(uniq)
+        cap = 1
+        while cap < 2 * m + 1:
+            cap *= 2
+        self._cap = cap
+        self._keys = np.zeros(cap, np.uint64)
+        self._offs = np.zeros(cap, np.int64)
+        self._cnts = np.zeros(cap, np.int32)
+        cnts32 = np.ascontiguousarray(
+            np.minimum(counts, np.iinfo(np.int32).max), np.int32
+        )
+        lib.dmt_hash_build(
+            uniq.ctypes.data_as(_U64P), lefts.ctypes.data_as(_I64P),
+            cnts32.ctypes.data_as(_I32P), m,
+            self._keys.ctypes.data_as(_U64P),
+            self._offs.ctypes.data_as(_I64P),
+            self._cnts.ctypes.data_as(_I32P), cap,
+        )
+
+    def lookup(
+        self, queries: np.ndarray, max_hits: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        lib = _load()
+        q = np.ascontiguousarray(queries, np.uint64)
+        nq = len(q)
+        qidx = np.empty(nq * max_hits, np.int64)
+        src = np.empty(nq * max_hits, np.int64)
+        total = lib.dmt_hash_lookup(
+            self._keys.ctypes.data_as(_U64P),
+            self._offs.ctypes.data_as(_I64P),
+            self._cnts.ctypes.data_as(_I32P), self._cap,
+            q.ctypes.data_as(_U64P), nq, max_hits,
+            qidx.ctypes.data_as(_I64P), src.ctypes.data_as(_I64P),
+        )
+        return qidx[:total], src[:total]
+
+
+def hash_index_native(sorted_hashes: np.ndarray):
+    """HashIndexNative or None when the library is unavailable."""
+    if _load() is None:
+        return None
+    return HashIndexNative(sorted_hashes)
 
 
 def cpg_swap_native(ref_codes: np.ndarray, read_codes: np.ndarray) -> bool:

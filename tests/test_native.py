@@ -218,6 +218,29 @@ def test_minimizers_match_numpy():
     np.testing.assert_array_equal(native_hash, ref_hash)
 
 
+def test_hash_index_matches_searchsorted():
+    """Native open-addressing lookup == the two-searchsorted ragged
+    expansion, including the first-max_hits cap and hit order."""
+    from deepmod_tpu.align.minimizer import MinimizerIndex
+
+    rng = np.random.RandomState(5)
+    genome = {
+        "a": "".join(rng.choice(list("ACGT"), 30000)),
+        "b": "".join(rng.choice(list("ACGT"), 12000)),
+    }
+    idx = MinimizerIndex(genome, max_hits=3)
+    assert idx._table is not None
+    queries = np.concatenate([
+        idx._hashes[rng.randint(0, len(idx._hashes), 500)],  # present
+        rng.randint(0, 2**63, 200).astype(np.uint64),        # mostly absent
+    ])
+    got = idx.lookup(queries)
+    idx._table = None  # force the searchsorted path
+    want = idx.lookup(queries)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_native_aligner_end_to_end():
     """Aligner produces working chains with the native minimizer/DP core."""
     from deepmod_tpu.align.aligner import MinimizerAligner
