@@ -105,7 +105,14 @@ class _FeatureFlusher:
             np.savetxt(base + ".xy.gz", feat, fmt="%.3f")
             self.written.append(base + ".xy.gz")
         if self.save_format in ("npz", "both"):
-            np.savez_compressed(base + ".xy.npz", xy=feat.astype(np.float32))
+            # `pos` carries column 0 exactly: float32 cannot represent
+            # genomic positions past 2^24 (~16.7 Mb) and the E-mode
+            # train/test split filters on it
+            np.savez_compressed(
+                base + ".xy.npz",
+                xy=feat.astype(np.float32),
+                pos=feat[:, 0].astype(np.int64),
+            )
             if self.save_format == "npz":
                 self.written.append(base + ".xy.npz")
         with open(base + ".xy.ind", "w") as fh:

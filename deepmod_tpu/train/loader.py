@@ -87,10 +87,24 @@ def find_feature_files(
     return files
 
 
-def _read_matrix(path: str) -> np.ndarray:
+def _read_matrix(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """(matrix, exact_positions_or_None).
+
+    A ``.xy.gz`` with a ``.xy.npz`` sibling loads the binary twin
+    (~20x faster; the text is %.3f-formatted so the float32 binary holds
+    the identical values). Text parses as float64 like the reference
+    (myMultiBiRNN.py:306 np.loadtxt default) — float32 would corrupt
+    genomic positions past 2^24 for the E-mode split.
+    """
+    if path.endswith(".xy.gz") and os.path.exists(path[:-6] + ".xy.npz"):
+        path = path[:-6] + ".xy.npz"
     if path.endswith(".npz"):
-        return np.load(path)["xy"].astype(np.float32)
-    return np.loadtxt(path, dtype=np.float32, ndmin=2)
+        data = np.load(path)
+        pos = (
+            data["pos"].astype(np.int64) if "pos" in data.files else None
+        )
+        return data["xy"].astype(np.float32), pos
+    return np.loadtxt(path, dtype=np.float64, ndmin=2), None
 
 
 def load_feature_file(
@@ -104,14 +118,14 @@ def load_feature_file(
     E-mode: training keeps rows OUTSIDE [start, end); for_test=True keeps
     rows INSIDE (the reference's '-' / '+' modes, :326-329).
     """
-    mdata = _read_matrix(path)
+    mdata, exact_pos = _read_matrix(path)
     if len(mdata) == 0:
         fnum = max(mdata.shape[1] - 3, 0) if mdata.ndim > 1 else 0
         return (
             np.empty((0, window_size, fnum), np.float32),
             np.empty((0, 2), np.int64),
         )
-    t0 = mdata[:, 0].astype(np.int64)
+    t0 = exact_pos if exact_pos is not None else mdata[:, 0].astype(np.int64)
     ty = mdata[:, 1:3]
     tx = mdata[:, 3:]
     half = window_size // 2

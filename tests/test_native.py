@@ -159,6 +159,36 @@ def test_fused_integer_fast_path_matches_two_step(n_span):
     np.testing.assert_array_equal(stds[:n], want_ev["stdv"])
 
 
+def test_normalize_native_adversarial_edges():
+    """Degenerate and hostile spans: every fast-path guard (histogram
+    reject, TwoSum inexactness, zero scale) must land on a path that
+    still bit-matches numpy (NaNs compared positionally)."""
+    from deepmod_tpu.io.signal_norm import normalize_signal
+
+    rng = np.random.RandomState(3)
+    cases = [
+        np.full(1000, 7.0),                       # scale 0 -> NaN path
+        np.where(rng.rand(1001) < 0.5, 3.0, 4.0),  # two-valued
+        rng.randint(10**7, 10**7 + 30, 999).astype(np.float64),
+        np.concatenate(                           # histogram-width reject
+            [[0.0], [3e6], rng.randint(100, 200, 998).astype(np.float64)]
+        ),
+        rng.normal(0, 1e-300, 1000),              # denormal-ish floats
+        np.concatenate(                           # TwoSum-inexact midpoints
+            [rng.normal(1e9, 1, 500), rng.normal(1e-9, 1e-12, 500)]
+        ),
+        rng.randint(-500, -100, 777).astype(np.float64),
+        np.asarray([5.0, 6.0, 7.0]),              # tiny span
+    ]
+    for raw in cases:
+        raw = np.asarray(raw, np.float64)
+        for span in [(0, len(raw)), (0, len(raw) - 1), (1, len(raw))]:
+            want = normalize_signal(raw.copy(), *span)
+            got = normalize_signal_native(raw.copy(), *span)
+            both_nan = np.isnan(want) & np.isnan(got)
+            np.testing.assert_array_equal(got[~both_nan], want[~both_nan])
+
+
 def test_fused_normalize_event_stats_truncation_and_reject():
     """Empty slice at index > 500 truncates to i-1; at <= 500 rejects."""
     from deepmod_tpu.io.events import EVENT_DTYPE

@@ -98,6 +98,46 @@ def test_text_and_binary_formats_agree(features):
     np.testing.assert_allclose(a, b, atol=5e-4)  # %.3f text rounding
 
 
+def test_gz_prefers_npz_sibling_and_agrees(features, tmp_path):
+    """A .xy.gz with a binary twin loads the twin; (X, Y) identical to
+    the text parse (the text is %.3f so float32 holds its exact values)."""
+    import shutil
+
+    base, results = features
+    gz = results["mod"].feature_files[0]
+    x_fast, y_fast = load_feature_file(gz, window_size=21)
+    # a sibling-free copy forces the text path
+    lone = tmp_path / "lone.xy.gz"
+    shutil.copy(gz, lone)
+    x_text, y_text = load_feature_file(str(lone), window_size=21)
+    np.testing.assert_array_equal(x_fast, x_text)
+    np.testing.assert_array_equal(y_fast, y_text)
+
+
+def test_npz_pos_exact_past_float32(tmp_path):
+    """Positions beyond 2^24 survive the binary format exactly (float32
+    alone would corrupt them and break the E-mode split)."""
+    from deepmod_tpu.train.loader import TestSplit
+
+    rows = 60
+    feat = np.zeros((rows, 10))
+    feat[:, 0] = 2**25 + np.arange(rows)  # ~33.5 Mb positions
+    feat[:, 1] = 1.0  # labeled
+    feat[:, 3:] = 0.125
+    np.savez_compressed(
+        tmp_path / "big.xy.npz",
+        xy=feat.astype(np.float32),
+        pos=feat[:, 0].astype(np.int64),
+    )
+    split = TestSplit(mode="E", start=2**25 + 20, end=2**25 + 40)
+    x, y = load_feature_file(
+        str(tmp_path / "big.xy.npz"), window_size=21, split=split,
+        for_test=True,
+    )
+    # exactly the 19 labeled rows strictly inside (start, end)
+    assert len(x) == 19
+
+
 def test_load_feature_file_windows(features):
     base, results = features
     x, y = load_feature_file(results["mod"].feature_files[0], window_size=21)
