@@ -42,10 +42,14 @@ int dmt_event_stats(const double* signal, int64_t n_signal,
     csum[i + 1] = csum[i] + v;
     csum2[i + 1] = csum2[i] + v * v;
   }
+  // clamp to [0, n_signal]: a corrupt start wraps negative through the
+  // int64 cast and must not index out of bounds
   int64_t n_valid = n_events;
   for (int64_t i = 0; i < n_events; ++i) {
-    int64_t s = std::min<int64_t>((int64_t)starts[i], n_signal);
-    int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n_signal);
+    int64_t s = std::max<int64_t>(
+        std::min<int64_t>((int64_t)starts[i], n_signal), 0);
+    int64_t e = std::max<int64_t>(
+        std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n_signal), 0);
     if (e <= s) {
       if (i > 500) {
         n_valid = i - 1;  // truncate (myDetect.py:337-339)
@@ -55,8 +59,10 @@ int dmt_event_stats(const double* signal, int64_t n_signal,
     }
   }
   for (int64_t i = 0; i < n_valid; ++i) {
-    const int64_t s = std::min<int64_t>((int64_t)starts[i], n_signal);
-    const int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n_signal);
+    const int64_t s = std::max<int64_t>(
+        std::min<int64_t>((int64_t)starts[i], n_signal), 0);
+    const int64_t e = std::max<int64_t>(
+        std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n_signal), 0);
     const int64_t cnt = e - s;
     const int64_t seg_sum = csum[e] - csum[s];
     const int64_t seg_sum2 = csum2[e] - csum2[s];
@@ -334,10 +340,14 @@ int64_t dmt_normalize_event_stats(double* signal, int64_t n,
       milli[i] = std::isfinite(r) ? (int32_t)r : 0;
     }
   }
+  // clamp to [0, n]: a corrupt start wraps negative through the int64
+  // cast and must not index out of bounds
   int64_t n_valid = n_events;
   for (int64_t i = 0; i < n_events; ++i) {
-    const int64_t s = std::min<int64_t>((int64_t)starts[i], n);
-    const int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n);
+    const int64_t s = std::max<int64_t>(
+        std::min<int64_t>((int64_t)starts[i], n), 0);
+    const int64_t e = std::max<int64_t>(
+        std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n), 0);
     if (e <= s) {
       if (i > 500) {
         n_valid = i - 1;  // truncate (myDetect.py:337-339)
@@ -347,8 +357,10 @@ int64_t dmt_normalize_event_stats(double* signal, int64_t n,
     }
   }
   for (int64_t i = 0; i < n_valid; ++i) {
-    const int64_t s = std::min<int64_t>((int64_t)starts[i], n);
-    const int64_t e = std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n);
+    const int64_t s = std::max<int64_t>(
+        std::min<int64_t>((int64_t)starts[i], n), 0);
+    const int64_t e = std::max<int64_t>(
+        std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n), 0);
     const int64_t cnt = e - s;
     int64_t seg_sum = 0, seg_sum2 = 0;
     for (int64_t j = s; j < e; ++j) {
@@ -602,7 +614,9 @@ int dmt_hash_build(const uint64_t* uniq, const int64_t* lefts,
 // For each query hash, emit up to max_hits (query_idx, source_row) pairs
 // where source_row indexes the index's sorted (_rids, _positions) arrays
 // — identical output order to the searchsorted path (first max_hits rows
-// of each hash's run). Output arrays must hold nq*max_hits entries.
+// of each hash's run). Pass null outputs to COUNT only (the caller sizes
+// exact result arrays from that instead of a nq*max_hits worst case,
+// which would be ~200 MB for a 1 Mb read).
 int64_t dmt_hash_lookup(const uint64_t* tkeys, const int64_t* toffs,
                         const int32_t* tcnts, int64_t cap,
                         const uint64_t* queries, int64_t nq,
@@ -610,6 +624,7 @@ int64_t dmt_hash_lookup(const uint64_t* tkeys, const int64_t* toffs,
                         int64_t* qidx_out, int64_t* src_out) {
   const uint64_t mask = (uint64_t)cap - 1;
   int64_t total = 0;
+  const bool fill = qidx_out != 0;
   for (int64_t i = 0; i < nq; ++i) {
     const uint64_t q = queries[i];
     uint64_t h = q & mask;
@@ -617,11 +632,15 @@ int64_t dmt_hash_lookup(const uint64_t* tkeys, const int64_t* toffs,
       if (tkeys[h] == q) {
         int64_t c = tcnts[h];
         if (c > max_hits) c = max_hits;
-        const int64_t off = toffs[h];
-        for (int64_t j = 0; j < c; ++j) {
-          qidx_out[total] = i;
-          src_out[total] = off + j;
-          ++total;
+        if (fill) {
+          const int64_t off = toffs[h];
+          for (int64_t j = 0; j < c; ++j) {
+            qidx_out[total] = i;
+            src_out[total] = off + j;
+            ++total;
+          }
+        } else {
+          total += c;
         }
         break;
       }

@@ -389,16 +389,25 @@ class HashIndexNative:
         lib = _load()
         q = np.ascontiguousarray(queries, np.uint64)
         nq = len(q)
-        qidx = np.empty(nq * max_hits, np.int64)
-        src = np.empty(nq * max_hits, np.int64)
+        # count pass sizes exact outputs (a worst-case nq*max_hits
+        # allocation would be ~200 MB for a 1 Mb read)
+        null = ctypes.POINTER(ctypes.c_int64)()
         total = lib.dmt_hash_lookup(
+            self._keys.ctypes.data_as(_U64P),
+            self._offs.ctypes.data_as(_I64P),
+            self._cnts.ctypes.data_as(_I32P), self._cap,
+            q.ctypes.data_as(_U64P), nq, max_hits, null, null,
+        )
+        qidx = np.empty(total, np.int64)
+        src = np.empty(total, np.int64)
+        lib.dmt_hash_lookup(
             self._keys.ctypes.data_as(_U64P),
             self._offs.ctypes.data_as(_I64P),
             self._cnts.ctypes.data_as(_I32P), self._cap,
             q.ctypes.data_as(_U64P), nq, max_hits,
             qidx.ctypes.data_as(_I64P), src.ctypes.data_as(_I64P),
         )
-        return qidx[:total], src[:total]
+        return qidx, src
 
 
 def hash_index_native(sorted_hashes: np.ndarray):
