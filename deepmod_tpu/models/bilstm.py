@@ -285,18 +285,25 @@ def bilstm_predict(
 
 def bilstm_logits_trainable(
     params: Params, x: jax.Array, config: BiLSTMConfig,
-    use_pallas: bool = False, tile_b: int = 64,
+    use_pallas: bool = False, tile_b: int = 0,
 ) -> jax.Array:
     """Differentiable logits; with use_pallas the recurrence runs through
     the custom-VJP fused kernels (ops.bilstm_fused_train) so BOTH the
-    forward and the BPTT backward are Pallas."""
+    forward and the BPTT backward are Pallas.
+
+    tile_b 0 auto-selects: 128 on the chip (+14% step rate vs 64 at
+    batch 2048, measured v5e; 256 fails to compile), 64 under interpret
+    (less padding for small test batches)."""
     if use_pallas:
         from deepmod_tpu.ops.bilstm_fused_train import bilstm_fused_center_train
 
+        on_tpu = jax.default_backend() == "tpu"
+        if tile_b <= 0:
+            tile_b = 128 if on_tpu else 64
         feats = bilstm_fused_center_train(
             params, x, config.num_layers, config.num_hidden,
             config.timesteps, config.forget_bias, tile_b,
-            jax.default_backend() != "tpu",
+            not on_tpu,
         )
     else:
         feats = bilstm_center_features(params, x, config)

@@ -347,7 +347,7 @@ class HashIndexNative:
     the two-searchsorted ragged expansion it replaces.
     """
 
-    __slots__ = ("_keys", "_offs", "_cnts", "_cap")
+    __slots__ = ("_keys", "_offs", "_cnts", "_cap", "_args")
 
     def __init__(self, sorted_hashes: np.ndarray):
         lib = _load()
@@ -382,6 +382,20 @@ class HashIndexNative:
             self._offs.ctypes.data_as(_I64P),
             self._cnts.ctypes.data_as(_I32P), cap,
         )
+        # pre-marshalled table pointers: per-call ctypes casts dominate
+        # short-read lookups otherwise (the owning arrays are pinned by
+        # the attributes above)
+        self._args = (
+            self._keys.ctypes.data_as(_U64P),
+            self._offs.ctypes.data_as(_I64P),
+            self._cnts.ctypes.data_as(_I32P),
+            cap,
+        )
+
+    # past this, a worst-case nq*max_hits allocation is too big (a 1 Mb
+    # read at max_hits 64 would be ~200 MB) and a count pass sizes the
+    # outputs exactly; below it, one pass into worst-case buffers wins
+    _SINGLE_PASS_CAP = 1 << 20
 
     def lookup(
         self, queries: np.ndarray, max_hits: int
@@ -389,22 +403,23 @@ class HashIndexNative:
         lib = _load()
         q = np.ascontiguousarray(queries, np.uint64)
         nq = len(q)
-        # count pass sizes exact outputs (a worst-case nq*max_hits
-        # allocation would be ~200 MB for a 1 Mb read)
+        qp = q.ctypes.data_as(_U64P)
+        worst = nq * max_hits
+        if worst <= self._SINGLE_PASS_CAP:
+            qidx = np.empty(worst, np.int64)
+            src = np.empty(worst, np.int64)
+            total = lib.dmt_hash_lookup(
+                *self._args, qp, nq, max_hits,
+                qidx.ctypes.data_as(_I64P), src.ctypes.data_as(_I64P),
+            )
+            # .copy() releases the worst-case buffers
+            return qidx[:total].copy(), src[:total].copy()
         null = ctypes.POINTER(ctypes.c_int64)()
-        total = lib.dmt_hash_lookup(
-            self._keys.ctypes.data_as(_U64P),
-            self._offs.ctypes.data_as(_I64P),
-            self._cnts.ctypes.data_as(_I32P), self._cap,
-            q.ctypes.data_as(_U64P), nq, max_hits, null, null,
-        )
+        total = lib.dmt_hash_lookup(*self._args, qp, nq, max_hits, null, null)
         qidx = np.empty(total, np.int64)
         src = np.empty(total, np.int64)
         lib.dmt_hash_lookup(
-            self._keys.ctypes.data_as(_U64P),
-            self._offs.ctypes.data_as(_I64P),
-            self._cnts.ctypes.data_as(_I32P), self._cap,
-            q.ctypes.data_as(_U64P), nq, max_hits,
+            *self._args, qp, nq, max_hits,
             qidx.ctypes.data_as(_I64P), src.ctypes.data_as(_I64P),
         )
         return qidx, src
