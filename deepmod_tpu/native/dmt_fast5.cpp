@@ -412,6 +412,34 @@ void dmt_f5_events(void* h, double* mean, double* stdv, double* start,
   memcpy(move, d->ev_move.data(), n * sizeof(int64_t));
   memcpy(state, d->ev_state.data(), n * d->state_width);
 }
+// Fill a packed numpy structured array directly (one call, no per-field
+// temporaries): dtype [(mean f8)(stdv f8)(start f8|u8)(length f8|u8)
+// (model_state S5)(move i8)] -> offsets 0/8/16/24/32/37, itemsize 45.
+// start_as_u64 selects the Albacore-v2 integer start/length layout
+// (float->uint64 truncation; negatives clamp to 0 instead of UB).
+void dmt_f5_events_packed(void* h, char* dst, int start_as_u64) {
+  auto* d = static_cast<Fast5Data*>(h);
+  const size_t n = d->n_events;
+  const size_t stride = 45;
+  for (size_t i = 0; i < n; ++i) {
+    char* p = dst + i * stride;
+    memcpy(p, &d->ev_mean[i], 8);
+    memcpy(p + 8, &d->ev_stdv[i], 8);
+    if (start_as_u64) {
+      const double sv = d->ev_start[i], lv = d->ev_length[i];
+      const uint64_t s = sv > 0 ? (uint64_t)sv : 0;
+      const uint64_t l = lv > 0 ? (uint64_t)lv : 0;
+      memcpy(p + 16, &s, 8);
+      memcpy(p + 24, &l, 8);
+    } else {
+      memcpy(p + 16, &d->ev_start[i], 8);
+      memcpy(p + 24, &d->ev_length[i], 8);
+    }
+    memcpy(p + 32, d->ev_state.data() + i * d->state_width, 5);
+    memcpy(p + 37, &d->ev_move[i], 8);
+  }
+}
+
 long long dmt_f5_move_len(void* h) {
   return (long long)static_cast<Fast5Data*>(h)->move.size();
 }

@@ -84,6 +84,10 @@ def _ensure_init():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
     ]
+    lib.dmt_f5_events_packed.restype = None
+    lib.dmt_f5_events_packed.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char), ctypes.c_int,
+    ]
     lib.dmt_f5_move.restype = None
     lib.dmt_f5_move.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.dmt_f5_free.restype = None
@@ -169,44 +173,25 @@ def read_fast5_native(path: str, options=None):
             basecall = fq_seq
         else:
             n_ev = lib.dmt_f5_n_events(handle)
-            mean = np.empty(n_ev, np.float64)
-            stdv = np.empty(n_ev, np.float64)
-            start = np.empty(n_ev, np.float64)
-            length = np.empty(n_ev, np.float64)
-            move = np.empty(n_ev, np.int64)
-            state = ctypes.create_string_buffer(int(n_ev) * 5)
-            lib.dmt_f5_events(
-                handle,
-                mean.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                stdv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                start.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                length.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                move.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                state,
-            )
-            states = np.frombuffer(state.raw, dtype="S5")
             version_class = _version_class(version)
             if version_class == 1:
-                events = np.empty(
-                    int(n_ev),
-                    dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"),
-                           ("length", "<f8"), ("model_state", "S5"),
-                           ("move", "<i8")],
-                )
+                dtype = [("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"),
+                         ("length", "<f8"), ("model_state", "S5"),
+                         ("move", "<i8")]
             else:
-                events = np.empty(
-                    int(n_ev),
-                    dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
-                           ("length", "<u8"), ("model_state", "S5"),
-                           ("move", "<i8")],
-                )
-            # field assignment casts in place (f8 -> u8 for v2+), no temps
-            events["start"] = start
-            events["length"] = length
-            events["mean"] = mean
-            events["stdv"] = stdv
-            events["model_state"] = states
-            events["move"] = move
+                dtype = [("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
+                         ("length", "<u8"), ("model_state", "S5"),
+                         ("move", "<i8")]
+            events = np.empty(int(n_ev), dtype=dtype)
+            # C fills the packed record layout directly — no per-field
+            # temporaries (dmt_f5_events_packed pins offsets 0/8/16/24/
+            # 32/37, itemsize 45)
+            assert events.dtype.itemsize == 45
+            lib.dmt_f5_events_packed(
+                handle,
+                events.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+                0 if version_class == 1 else 1,
+            )
             if version_class == 1:
                 if start_time < 0:
                     # attr absent: the h5py path (and the reference, via
