@@ -88,6 +88,24 @@ class _FeatureFlusher:
         self.file_ind = 0
         self.written: List[str] = []
 
+    @staticmethod
+    def _write_xy_gz(path: str, feat: np.ndarray) -> None:
+        """np.savetxt(fmt='%.3f') equivalent: native formatter + one gzip
+        write. savetxt formats row-by-row through a level-9 gzip stream —
+        ~80% of getfeatures wall time; the text content here is byte-
+        identical (pinned by test) and gzip level only changes the
+        intermediate file's size, not what any reader decodes."""
+        from deepmod_tpu.native.lib import format_matrix_f3_native
+
+        buf = format_matrix_f3_native(feat) if len(feat) else None
+        if buf is None:
+            np.savetxt(path, feat, fmt="%.3f")
+            return
+        import gzip
+
+        with gzip.open(path, "wb", compresslevel=4) as fh:
+            fh.write(buf)
+
     def add(self, mfeat: np.ndarray, f5path: str) -> None:
         if self.nbytes > self.limit:
             self.flush()
@@ -102,7 +120,7 @@ class _FeatureFlusher:
         feat = np.concatenate(self.buffers, axis=0)
         base = os.path.join(self.folder, str(self.file_ind))
         if self.save_format in ("xy.gz", "both"):
-            np.savetxt(base + ".xy.gz", feat, fmt="%.3f")
+            self._write_xy_gz(base + ".xy.gz", feat)
             self.written.append(base + ".xy.gz")
         if self.save_format in ("npz", "both"):
             # `pos` carries column 0 exactly: float32 cannot represent

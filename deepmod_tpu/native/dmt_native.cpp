@@ -20,6 +20,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -648,6 +649,50 @@ int64_t dmt_hash_lookup(const uint64_t* tkeys, const int64_t* toffs,
     }
   }
   return total;
+}
+
+// ---------------------------------------------------------------------------
+// %.3f text formatting of a row-major matrix, byte-identical to
+// np.savetxt(fmt='%.3f') (space delimiter, '\n' after every row) — the
+// reference feature-file format (myGetFeatureBasedPos.py:123). Most
+// values are exact milli multiples (round-3 means/stdvs, integer
+// positions/labels), formatted via integer math; anything else falls
+// back to snprintf, which glibc rounds correctly like python. Returns
+// bytes written or -1 when the buffer is too small.
+static inline int64_t format_f3_one(double v, char* p) {
+  const double scaled = v * 1000.0;
+  const long long m = llround(scaled);
+  if (fabs(scaled - (double)m) < 1e-6 && fabs(scaled) < 9.0e15 &&
+      !(m == 0 && std::signbit(v))) {  // "-0.000" must keep its sign
+    char* q = p;
+    unsigned long long um = m < 0 ? (unsigned long long)(-m) : (unsigned long long)m;
+    if (m < 0) *q++ = '-';
+    const unsigned long long ip = um / 1000ULL;
+    const unsigned fr = (unsigned)(um % 1000ULL);
+    char tmp[24];
+    int ti = 0;
+    unsigned long long x = ip;
+    do { tmp[ti++] = (char)('0' + (x % 10ULL)); x /= 10ULL; } while (x);
+    while (ti) *q++ = tmp[--ti];
+    *q++ = '.';
+    *q++ = (char)('0' + fr / 100);
+    *q++ = (char)('0' + (fr / 10) % 10);
+    *q++ = (char)('0' + fr % 10);
+    return q - p;
+  }
+  return snprintf(p, 40, "%.3f", v);
+}
+
+int64_t dmt_format_matrix_f3(const double* data, int64_t rows, int64_t cols,
+                             char* out, int64_t cap) {
+  int64_t off = 0;
+  const int64_t n = rows * cols;
+  for (int64_t i = 0; i < n; ++i) {
+    if (cap - off < 48) return -1;
+    off += format_f3_one(data[i], out + off);
+    out[off++] = ((i + 1) % cols == 0) ? '\n' : ' ';
+  }
+  return off;
 }
 
 // CpG indel canonicalization (myDetect.py:680-700): the full sequential

@@ -100,6 +100,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.dmt_format_matrix_f3.restype = ctypes.c_int64
+    lib.dmt_format_matrix_f3.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+    ]
     lib.dmt_hash_build.restype = ctypes.c_int
     lib.dmt_hash_build.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
@@ -430,6 +435,26 @@ def hash_index_native(sorted_hashes: np.ndarray):
     if _load() is None:
         return None
     return HashIndexNative(sorted_hashes)
+
+
+def format_matrix_f3_native(matrix: np.ndarray) -> Optional[bytes]:
+    """np.savetxt(fmt='%.3f')-identical text for a 2-D float64 matrix,
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(matrix, np.float64)
+    rows, cols = m.shape
+    # worst case ~24 chars + separator per value
+    cap = max(int(rows * cols) * 48, 64)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.dmt_format_matrix_f3(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), rows, cols,
+        out, cap,
+    )
+    if n < 0:
+        return None
+    return out.raw[:n]
 
 
 def cpg_swap_native(ref_codes: np.ndarray, read_codes: np.ndarray) -> bool:

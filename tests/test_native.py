@@ -248,6 +248,49 @@ def test_minimizers_match_numpy():
     np.testing.assert_array_equal(native_hash, ref_hash)
 
 
+def test_format_matrix_f3_matches_savetxt():
+    """Native %.3f formatting == np.savetxt byte-for-byte, including
+    negative zeros, ties, huge ints, and non-milli values."""
+    import gzip as gz
+    import io as iomod
+
+    from deepmod_tpu.native.lib import format_matrix_f3_native
+
+    rng = np.random.RandomState(6)
+    adversarial = np.asarray([
+        0.0, -0.0, -0.0004, 0.0004, 0.0005, -0.0005, 0.0015, -0.0015,
+        1.0005, 2.0005, -1.0005, 123456789.0, -123456789.0,
+        1e15, -1e15, 1.23e16, 0.123, -0.123, 999.9995, -999.9995,
+    ])
+    mats = [
+        np.round(rng.normal(0, 3, (40, 5)), 3),
+        rng.normal(0, 3, (40, 5)),                     # non-milli values
+        np.concatenate([adversarial, rng.normal(0, 1, 20)]).reshape(8, 5),
+        np.arange(30, dtype=np.float64).reshape(6, 5) * 2**22,
+    ]
+    for m in mats:
+        got = format_matrix_f3_native(m)
+        assert got is not None
+        sio = iomod.StringIO()
+        np.savetxt(sio, m, fmt="%.3f")
+        assert got.decode() == sio.getvalue()
+
+
+def test_write_xy_gz_matches_savetxt(tmp_path):
+    """The flusher's gzip writer decodes to exactly what savetxt wrote."""
+    import gzip as gz
+
+    from deepmod_tpu.engine.getfeatures import _FeatureFlusher
+
+    rng = np.random.RandomState(7)
+    feat = np.round(rng.normal(0, 2, (500, 10)), 3)
+    feat[:, 0] = np.arange(500) + 2**25
+    _FeatureFlusher._write_xy_gz(str(tmp_path / "a.xy.gz"), feat)
+    np.savetxt(str(tmp_path / "b.xy.gz"), feat, fmt="%.3f")
+    with gz.open(tmp_path / "a.xy.gz") as fa, gz.open(tmp_path / "b.xy.gz") as fb:
+        assert fa.read() == fb.read()
+
+
 def test_hash_index_matches_searchsorted():
     """Native open-addressing lookup == the two-searchsorted ragged
     expansion, including the first-max_hits cap and hit order."""
