@@ -66,30 +66,52 @@ def _quality_gate(
     meth_rows: Set[int] = set()
     unused_rows: Set[int] = set()
 
-    # motif-mismatch poisoning (:380-383)
+    # motif-mismatch poisoning (:380-383), vectorized: a hit poisons its
+    # neighborhood when the READ window equals the motif but the REF
+    # window does not (shifted elementwise compares replace the per-hit
+    # string building)
     if opts.motif:
         motif = opts.motif
         mpos = opts.mod_offset
         hits = np.flatnonzero(readbase == motif[mpos])
-        for aligni in hits:
-            m_a_st = aligni - mpos
-            m_a_end = aligni + len(motif) - mpos
-            if m_a_st > -1 and m_a_end <= n:
-                read_win = "".join(readbase[m_a_st:m_a_end])
-                ref_win = "".join(refbase[m_a_st:m_a_end])
-                if read_win == motif and ref_win != motif:
-                    lo = max(aligni - aff, 0)
-                    hi = min(aligni + aff + 1, n)
-                    unused_rows.update(range(lo, hi))
+        hits = hits[(hits - mpos > -1) & (hits + len(motif) - mpos <= n)]
+        if len(hits):
+            read_eq = np.ones(len(hits), bool)
+            ref_eq = np.ones(len(hits), bool)
+            for k in range(len(motif)):
+                idx = hits - mpos + k
+                read_eq &= readbase[idx] == motif[k]
+                ref_eq &= refbase[idx] == motif[k]
+            for aligni in hits[read_eq & ~ref_eq]:
+                lo = max(int(aligni) - aff, 0)
+                hi = min(int(aligni) + aff + 1, n)
+                unused_rows.update(range(lo, hi))
 
     if not fulmod:
         return meth_rows, unused_rows
 
+    # membership of each non-gap row's (strand, refpos) in fulmod,
+    # vectorized against a per-(rname,strand) sorted position array
+    # (cached on opts — a python set probe per row dominated this gate)
+    cache = getattr(opts, "_fulmod_pos_cache", None)
+    if cache is None:
+        cache = {}
+        opts._fulmod_pos_cache = cache
+    key = (bmr.rname, strand)
+    pos_arr = cache.get(key)
+    if pos_arr is None:
+        pos_arr = np.sort(np.fromiter(
+            (p for s, p in fulmod if s == strand), np.int64,
+        ))
+        cache[key] = pos_arr
     is_fulmod = np.zeros(n, bool)
     ref_not_gap = refbase != "-"
-    for i in np.flatnonzero(ref_not_gap):
-        if (strand, int(bm["refbasei"][i])) in fulmod:
-            is_fulmod[i] = True
+    ng_idx = np.flatnonzero(ref_not_gap)
+    if len(ng_idx) and len(pos_arr):
+        refpos = bm["refbasei"][ng_idx].astype(np.int64)
+        loc = np.searchsorted(pos_arr, refpos)
+        found = (loc < len(pos_arr)) & (pos_arr[np.minimum(loc, len(pos_arr) - 1)] == refpos)
+        is_fulmod[ng_idx[found]] = True
 
     is_gap_col = (refbase == "-") | (readbase == "-")
     is_match_col = refbase == readbase
