@@ -93,25 +93,12 @@ def _quality_gate(
     # membership of each non-gap row's (strand, refpos) in fulmod,
     # vectorized against a per-(rname,strand) sorted position array
     # (cached on opts — a python set probe per row dominated this gate)
-    cache = getattr(opts, "_fulmod_pos_cache", None)
-    if cache is None:
-        cache = {}
-        opts._fulmod_pos_cache = cache
-    key = (bmr.rname, strand)
-    pos_arr = cache.get(key)
-    if pos_arr is None:
-        pos_arr = np.sort(np.fromiter(
-            (p for s, p in fulmod if s == strand), np.int64,
-        ))
-        cache[key] = pos_arr
+    pos_arr = _strand_pos_cached(opts, "fulmod", fulmod, bmr.rname, strand)
     is_fulmod = np.zeros(n, bool)
-    ref_not_gap = refbase != "-"
-    ng_idx = np.flatnonzero(ref_not_gap)
+    ng_idx = np.flatnonzero(refbase != "-")
     if len(ng_idx) and len(pos_arr):
         refpos = bm["refbasei"][ng_idx].astype(np.int64)
-        loc = np.searchsorted(pos_arr, refpos)
-        found = (loc < len(pos_arr)) & (pos_arr[np.minimum(loc, len(pos_arr) - 1)] == refpos)
-        is_fulmod[ng_idx[found]] = True
+        is_fulmod[ng_idx[_in_sorted(refpos, pos_arr)]] = True
 
     is_gap_col = (refbase == "-") | (readbase == "-")
     is_match_col = refbase == readbase
@@ -194,51 +181,100 @@ def build_labeled_features(
     rname = bmr.rname
 
     meth_rows, unused_rows = _quality_gate(bmr, opts)
-    # convert row sets to (strand, refpos) key sets like cgpos (:404-409)
-    meth_keys = {(strand, int(bm["refbasei"][i])) for i in meth_rows}
-    unused_keys = {(strand, int(bm["refbasei"][i])) for i in unused_rows}
+    # convert row sets to refpos space like cgpos (:404-409); strand is
+    # constant per read so (strand, pos) keys reduce to positions
+    meth_pos = _rows_to_pos(bm, meth_rows)
+    unused_pos = _rows_to_pos(bm, unused_rows)
 
     fulmod = (opts.fulmod or {}).get(rname, set())
     anymod = None if opts.anymod is None else opts.anymod.get(rname, set())
     nomod = None if opts.nomod is None else opts.nomod.get(rname, set())
+    fulmod_arr = _strand_pos_cached(opts, "fulmod", fulmod, rname, strand)
+    anymod_arr = (
+        None if anymod is None
+        else _strand_pos_cached(opts, "anymod", anymod, rname, strand)
+    )
+    nomod_arr = (
+        None if nomod is None
+        else _strand_pos_cached(opts, "nomod", nomod, rname, strand)
+    )
 
     nongap = np.flatnonzero(bm["readbase"] != "-")
     assert len(nongap) == n_aligned
     arows = pad + np.arange(n_aligned)  # feature-matrix rows of aligned events
 
-    for k, row in enumerate(nongap):
-        key = (strand, int(bm["refbasei"][row]))
-        frow = arows[k]
-        if opts.posneg == 0:
-            # control sample: trusted negatives (:469-476)
-            if (
-                (anymod is not None and nomod is not None and key in nomod)
-                or key in fulmod
-                or (anymod is not None and key in anymod)
-            ):
-                mfeat[frow, 1] = 1.0
+    # vectorized label assignment — one membership probe per label source
+    # instead of python set lookups per aligned row (:469-488 semantics,
+    # pinned by the property tests)
+    keypos = bm["refbasei"][nongap].astype(np.int64)
+    if opts.posneg == 0:
+        # control sample: trusted negatives (:469-476)
+        neg = _in_sorted(keypos, fulmod_arr)
+        if anymod_arr is not None and nomod_arr is not None:
+            neg |= _in_sorted(keypos, nomod_arr)
+        if anymod_arr is not None:
+            neg |= _in_sorted(keypos, anymod_arr)
+        mfeat[arows[neg], 1] = 1.0
+    else:
+        pos = _in_sorted(keypos, meth_pos) & (bm["refbase"][nongap] != "-")
+        rest = ~pos & ~_in_sorted(keypos, unused_pos)
+        if anymod_arr is None:
+            neg = rest if nomod_arr is None else rest & _in_sorted(keypos, nomod_arr)
         else:
-            if key in meth_keys and bm["refbase"][row] != "-":
-                mfeat[frow, 2] = 1.0
-            elif key not in unused_keys:
-                if anymod is None:
-                    if nomod is None or key in nomod:
-                        mfeat[frow, 1] = 1.0
-                elif key in anymod:
-                    pass
-                else:
-                    if nomod is None or key in nomod:
-                        mfeat[frow, 1] = 1.0
+            neg = rest & ~_in_sorted(keypos, anymod_arr)
+            if nomod_arr is not None:
+                neg &= _in_sorted(keypos, nomod_arr)
+        mfeat[arows[pos], 2] = 1.0
+        mfeat[arows[neg], 1] = 1.0
 
-    # truncation to +-25 rows around labeled rows (:513-526)
+    # truncation to +-25 rows around labeled rows (:513-526), as a
+    # range-union via prefix sums
     labeled = np.flatnonzero(mfeat[:, 1] + mfeat[:, 2] > 0.9)
     if len(labeled) == 0:
         return None
     margin = opts.truncate_margin
-    keep = np.zeros(len(mfeat), bool)
-    for row in labeled:
-        keep[max(row - margin, 0) : min(row + margin + 1, len(mfeat))] = True
-    keep_idx = np.flatnonzero(keep)
+    delta = np.zeros(len(mfeat) + 1, np.int32)
+    np.add.at(delta, np.maximum(labeled - margin, 0), 1)
+    np.add.at(delta, np.minimum(labeled + margin + 1, len(mfeat)), -1)
+    keep_idx = np.flatnonzero(np.cumsum(delta[:-1]) > 0)
     if len(keep_idx) > len(mfeat) * 0.9:
         return mfeat
     return mfeat[keep_idx]
+
+
+def _rows_to_pos(bm: np.ndarray, rows: Set[int]) -> np.ndarray:
+    """Sorted unique refbasei values of a base-map row set."""
+    if not rows:
+        return np.empty(0, np.int64)
+    idx = np.fromiter(rows, np.int64, len(rows))
+    return np.unique(bm["refbasei"][idx].astype(np.int64))
+
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of each value in a sorted array."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), bool)
+    loc = np.searchsorted(sorted_arr, values)
+    return (loc < len(sorted_arr)) & (
+        sorted_arr[np.minimum(loc, len(sorted_arr) - 1)] == values
+    )
+
+
+def _strand_pos_cached(
+    opts: LabelOptions, tag: str, label_set: Set[Tuple[str, int]],
+    rname: str, strand: str,
+) -> np.ndarray:
+    """Sorted positions of one label source for (rname, strand), cached
+    on the (worker-lifetime) LabelOptions."""
+    cache = getattr(opts, "_label_pos_cache", None)
+    if cache is None:
+        cache = {}
+        opts._label_pos_cache = cache
+    key = (tag, rname, strand)
+    arr = cache.get(key)
+    if arr is None:
+        arr = np.sort(np.fromiter(
+            (p for s, p in label_set if s == strand), np.int64,
+        ))
+        cache[key] = arr
+    return arr

@@ -437,24 +437,26 @@ def hash_index_native(sorted_hashes: np.ndarray):
     return HashIndexNative(sorted_hashes)
 
 
-def format_matrix_f3_native(matrix: np.ndarray) -> Optional[bytes]:
-    """np.savetxt(fmt='%.3f')-identical text for a 2-D float64 matrix,
+def format_matrix_f3_native(matrix: np.ndarray):
+    """np.savetxt(fmt='%.3f')-identical text for a 2-D float64 matrix as
+    a bytes-like numpy view (no copy — pass straight to a file write),
     or None when the native library is unavailable."""
     lib = _load()
     if lib is None:
         return None
     m = np.ascontiguousarray(matrix, np.float64)
     rows, cols = m.shape
-    # worst case ~24 chars + separator per value
+    # worst case ~24 chars + separator per value; np.empty skips the
+    # create_string_buffer zero fill
     cap = max(int(rows * cols) * 48, 64)
-    out = ctypes.create_string_buffer(cap)
+    out = np.empty(cap, np.uint8)
     n = lib.dmt_format_matrix_f3(
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), rows, cols,
-        out, cap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_char)), cap,
     )
     if n < 0:
         return None
-    return out.raw[:n]
+    return out[:n].data
 
 
 def cpg_swap_native(ref_codes: np.ndarray, read_codes: np.ndarray) -> bool:

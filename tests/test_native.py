@@ -273,7 +273,7 @@ def test_format_matrix_f3_matches_savetxt():
         assert got is not None
         sio = iomod.StringIO()
         np.savetxt(sio, m, fmt="%.3f")
-        assert got.decode() == sio.getvalue()
+        assert bytes(got).decode() == sio.getvalue()
 
 
 def test_write_xy_gz_matches_savetxt(tmp_path):
