@@ -94,19 +94,25 @@ def make_train_step(
 
     With a mesh, x/y/mask are sharded over `axis` and params replicated;
     XLA inserts the gradient all-reduce. use_pallas routes forward AND
-    backward through the fused kernels (custom VJP).
+    backward through the fused kernels (custom VJP); under a mesh the
+    kernel runs per-shard inside shard_map (XLA's SPMD partitioner cannot
+    split a pallas_call itself) with explicit psums of loss and grads —
+    numerically the same global masked mean as the auto-sharded path.
     """
 
-    def masked_loss(params, x, y, mask):
+    def _weighted_per_example(params, x, y, use_pallas_here):
         logits = bilstm_logits_trainable(
-            params, x, model_config, use_pallas=use_pallas
+            params, x, model_config, use_pallas=use_pallas_here
         )
         if unbalanced:
             from deepmod_tpu.models.bilstm import CLASS_WEIGHTS
 
             logits = logits * jnp.asarray(CLASS_WEIGHTS, logits.dtype)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        per_example = -jnp.sum(y.astype(logp.dtype) * logp, axis=-1)
+        return -jnp.sum(y.astype(logp.dtype) * logp, axis=-1)
+
+    def masked_loss(params, x, y, mask):
+        per_example = _weighted_per_example(params, x, y, use_pallas)
         return jnp.sum(per_example * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     def step(params, opt_state, x, y, mask):
@@ -120,6 +126,39 @@ def make_train_step(
 
     batch_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
+
+    if use_pallas:
+        # Per-shard fused kernel: compute the *sum* of masked losses and
+        # its gradient locally, then psum both plus the mask count; the
+        # global masked mean (and its grads) follow by one division. The
+        # division happens after the psum, so grads are bit-comparable to
+        # the single-device masked-mean formulation up to reduction order.
+        def local_loss_and_grads(params, x, y, mask):
+            def sum_loss(p):
+                return jnp.sum(_weighted_per_example(p, x, y, True) * mask)
+
+            lsum, grads = jax.value_and_grad(sum_loss)(params)
+            denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis), 1.0)
+            loss = jax.lax.psum(lsum, axis) / denom
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, axis) / denom, grads
+            )
+            return loss, grads
+
+        grads_fn = jax.shard_map(
+            local_loss_and_grads,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        def step(params, opt_state, x, y, mask):  # noqa: F811
+            loss, grads = grads_fn(params, x, y, mask)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
     return jax.jit(
         step,
         in_shardings=(replicated, replicated, batch_sharding, batch_sharding, batch_sharding),
@@ -184,7 +223,9 @@ def train_run(
     n_shards = mesh.devices.size if mesh is not None else 1
     use_pallas = config.use_pallas
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and mesh is None
+        # fused-VJP kernels are the default whenever we're on TPU; under a
+        # mesh they run per-shard via shard_map (make_train_step)
+        use_pallas = jax.default_backend() == "tpu"
     step_fn = make_train_step(
         model_config, optimizer, config.unbalanced, mesh, config.mesh_axis,
         use_pallas=use_pallas,

@@ -98,3 +98,42 @@ def test_sharded_position_counts():
     want_mod = np.bincount(pos, mod, minlength=length).astype(np.int32)
     np.testing.assert_array_equal(np.asarray(got_cov), want_cov)
     np.testing.assert_array_equal(np.asarray(got_mod), want_mod)
+
+
+def test_shardmap_pallas_train_step_matches_scan(model):
+    """Under a mesh the trainer can route the fused custom-VJP Pallas
+    kernels through shard_map (per-shard kernel + explicit psum of
+    loss/grads). One step must match the auto-sharded XLA-scan step."""
+    from deepmod_tpu.train.trainer import make_train_step
+
+    config, params, x = model
+    n = x.shape[0]
+    y = np.zeros((n, 2), np.float32)
+    y[::2, 0] = 1
+    y[1::2, 1] = 1
+    # a ragged mask exercises the global masked-mean denominator
+    mask = np.ones(n, np.float32)
+    mask[-5:] = 0.0
+    optimizer = optax.adam(1e-3)
+    mesh = make_mesh(8)
+
+    results = {}
+    for name, use_pallas in (("scan", False), ("pallas", True)):
+        step = make_train_step(
+            config, optimizer, unbalanced=True, mesh=mesh,
+            use_pallas=use_pallas,
+        )
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        opt_state = optimizer.init(p)
+        p2, opt_state, loss = step(
+            p, opt_state, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
+        )
+        results[name] = (float(loss), jax.tree_util.tree_map(np.asarray, p2))
+
+    assert results["scan"][0] == pytest.approx(results["pallas"][0], rel=2e-5)
+    flat_s = jax.tree_util.tree_leaves_with_path(results["scan"][1])
+    flat_p = jax.tree_util.tree_leaves(results["pallas"][1])
+    for (path, want), got in zip(flat_s, flat_p):
+        np.testing.assert_allclose(
+            got, want, rtol=5e-4, atol=5e-5, err_msg=str(path)
+        )
