@@ -150,11 +150,26 @@ class WindowPredictor:
             mesh = Mesh(np.asarray(jax.devices()), ("data",))
             replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(params, replicated)
-            self._fn = jax.jit(
-                lambda p, x: bilstm_predict(
+
+            def _predict(p, x):
+                return bilstm_predict(
                     p, x, config, use_pallas=self.use_pallas,
                     precision=self.precision,
-                ),
+                )
+
+            if self.use_pallas:
+                # a pallas_call is opaque to the SPMD partitioner; run the
+                # fused kernel per shard on its local batch slice (kernels
+                # pad each shard to tile multiples internally)
+                _predict = jax.shard_map(
+                    _predict,
+                    mesh=mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            self._fn = jax.jit(
+                _predict,
                 in_shardings=(replicated, NamedSharding(mesh, P("data"))),
                 out_shardings=NamedSharding(mesh, P("data")),
             )

@@ -68,8 +68,15 @@ def make_sharded_predict(
     mesh: Mesh,
     data_axis: str = "data",
     model_axis: Optional[str] = None,
+    use_pallas: bool = False,
+    precision: str = "fp32",
 ) -> Callable:
-    """jit (params, x) -> predictions with dp (+ optional tp) shardings."""
+    """jit (params, x) -> predictions with dp (+ optional tp) shardings.
+
+    ``use_pallas`` runs the fused kernel per data shard inside shard_map
+    (a pallas_call is opaque to the SPMD partitioner). It requires fully
+    replicated params, so tensor parallelism falls back to the XLA scan.
+    """
     if model_axis is not None and model_axis not in mesh.axis_names:
         model_axis = None
     param_sh = _tree_shardings(
@@ -77,8 +84,24 @@ def make_sharded_predict(
     )
     x_sh = NamedSharding(mesh, P(data_axis))
     out_sh = NamedSharding(mesh, P(data_axis))
+
+    def predict(params, x):
+        return bilstm_predict(
+            params, x, model_config,
+            use_pallas=use_pallas and model_axis is None,
+            precision=precision,
+        )
+
+    if use_pallas and model_axis is None:
+        predict = jax.shard_map(
+            predict,
+            mesh=mesh,
+            in_specs=(P(), P(data_axis)),
+            out_specs=P(data_axis),
+            check_vma=False,
+        )
     return jax.jit(
-        lambda params, x: bilstm_predict(params, x, model_config),
+        predict,
         in_shardings=(param_sh, x_sh),
         out_shardings=out_sh,
     )

@@ -137,3 +137,26 @@ def test_shardmap_pallas_train_step_matches_scan(model):
         np.testing.assert_allclose(
             got, want, rtol=5e-4, atol=5e-5, err_msg=str(path)
         )
+
+
+def test_window_predictor_pallas_data_parallel(model):
+    """WindowPredictor's multi-device branch routes the fused kernel
+    through shard_map; predictions must match the scan path exactly."""
+    from deepmod_tpu.engine.detect import WindowPredictor
+
+    config, params, x = model
+    xw = np.asarray(x, np.float32)
+    want = WindowPredictor(
+        params, config, buckets=(64,), use_pallas=False, data_parallel=True
+    ).predict(xw)
+    got = WindowPredictor(
+        params, config, buckets=(64,), use_pallas=True, data_parallel=True
+    ).predict(xw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_predict_pallas(model):
+    config, params, x = model
+    want = np.asarray(bilstm_predict(params, x, config))
+    fn = make_sharded_predict(config, make_mesh(8), use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(fn(params, x)), want)
