@@ -89,9 +89,11 @@ def normalize_and_event_stats(
 def event_mean_std(
     m_event: np.ndarray, raw_signals: np.ndarray
 ) -> Tuple[np.ndarray, int]:
-    """Fill per-event mean/stdv from normalized raw slices, vectorized.
+    """Fill per-event mean/stdv from normalized raw slices.
 
-    Replicates myDetect.py:332-343 (round to 3 decimals) including its
+    Replicates myDetect.py:332-343 BIT-FOR-BIT (the literal
+    round(np.mean/np.std, 3) calls; see the arithmetic note below),
+    including its
     out-of-range handling: if an event's slice is empty, the event table
     is truncated there when the offending index is > 500, else the read
     is rejected as 'Less event'. Returns (m_event, n_valid).
@@ -122,32 +124,24 @@ def event_mean_std(
         else:
             raise SignalRangeError("Less event")
 
-    # normalized signals are exact multiples of 0.001 (normalize_signal
-    # rounds to 3 decimals), so integer cumsums make segment moments exact
-    # and the half-even rounding deterministic — no float-summation-order
-    # dust at .0005 ties (the reference's np.mean per segment is at the
-    # mercy of pairwise-summation order there).
-    sig_i = np.round(np.asarray(raw_signals, np.float64) * 1000.0).astype(np.int64)
-    csum = np.concatenate([[0], np.cumsum(sig_i)])
-    csum2 = np.concatenate([[0], np.cumsum(sig_i * sig_i)])
+    # the LITERAL reference operations (myDetect.py:342-343):
+    # round(np.mean(slice), 3) / round(np.std(slice), 3). np.mean returns
+    # an np.float64, whose __round__ is numpy's scale-rint-unscale — NOT
+    # python float's correctly-rounded decimal — and np.mean's pairwise
+    # summation order decides exact .0005 ties, so any re-derivation
+    # (integer milli-arithmetic included) flips the last digit on ~3% of
+    # events. The native kernel replicates this arithmetic step for step
+    # (numpy 8-accumulator pairwise sum + rint(x*1000)/1000), pinned
+    # bit-exact against this path and against the reference's own code in
+    # tests/test_reference_differential.py.
+    sig = np.asarray(raw_signals, np.float64)
+    m_event = m_event[:n_valid].copy()
+    means = m_event["mean"]
+    stds = m_event["stdv"]
     s = eff_start[:n_valid]
     e = eff_end[:n_valid]
-    n = np.maximum(counts[:n_valid], 1)
-    seg_sum = csum[e] - csum[s]      # units of 1e-3
-    seg_sum2 = csum2[e] - csum2[s]   # units of 1e-6
-
-    # mean rounded to 3 decimals == round-half-even of seg_sum / n
-    q, r = np.divmod(seg_sum, n)
-    twice = 2 * r
-    round_up = (twice > n) | ((twice == n) & (q % 2 != 0))
-    mean_milli = q + round_up
-    mean = mean_milli.astype(np.float64) / 1000.0
-
-    exact_mean = seg_sum.astype(np.float64) / n
-    var = seg_sum2.astype(np.float64) / n - exact_mean * exact_mean  # 1e-6 units
-    std = np.sqrt(np.maximum(var, 0.0)) / 1000.0
-
-    m_event = m_event[:n_valid].copy()
-    m_event["mean"] = mean
-    m_event["stdv"] = np.round(std, 3)
+    for i in range(n_valid):
+        seg = sig[s[i] : e[i]]
+        means[i] = round(np.mean(seg), 3)
+        stds[i] = round(np.std(seg), 3)
     return m_event, n_valid

@@ -5,8 +5,10 @@
 // provides the framework's own native implementations of the host-side hot
 // loops that feed the TPU:
 //
-//   - per-event signal statistics (exact milli-unit integer arithmetic,
-//     matching deepmod_tpu.io.signal_norm.event_mean_std bit-for-bit);
+//   - per-event signal statistics replicating the reference's
+//     round(np.mean/np.std, 3) arithmetic bit-for-bit (numpy pairwise
+//     summation order + scalar-__round__ semantics), matching
+//     deepmod_tpu.io.signal_norm.event_mean_std;
 //   - median/MAD signal normalization with 5xMAD winsorize + round-3
 //     (myDetect.py:266-282 semantics);
 //   - banded edit-distance alignment with traceback (the built-in
@@ -24,28 +26,74 @@
 #include <cstring>
 #include <vector>
 
+// numpy's pairwise-summation order for a contiguous float64 add.reduce:
+// sequential under 8 elements, 8 scalar accumulators up to the 128-element
+// block size, recursive halving (split rounded down to a multiple of 8)
+// above. This is the published Higham/numpy blocked pairwise algorithm;
+// verified bit-exact against this image's numpy for every n in 1..700
+// (tests/test_native.py pins it transitively through event_mean_std).
+static double np_pairwise_sum(const double* a, int64_t n) {
+  if (n < 8) {
+    double res = 0.0;
+    for (int64_t i = 0; i < n; ++i) res += a[i];
+    return res;
+  }
+  if (n <= 128) {
+    double r0 = a[0], r1 = a[1], r2 = a[2], r3 = a[3];
+    double r4 = a[4], r5 = a[5], r6 = a[6], r7 = a[7];
+    int64_t i = 8;
+    for (; i + 8 <= n; i += 8) {
+      r0 += a[i + 0]; r1 += a[i + 1]; r2 += a[i + 2]; r3 += a[i + 3];
+      r4 += a[i + 4]; r5 += a[i + 5]; r6 += a[i + 6]; r7 += a[i + 7];
+    }
+    double res = ((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7));
+    for (; i < n; ++i) res += a[i];
+    return res;
+  }
+  int64_t n2 = n / 2;
+  n2 -= n2 % 8;
+  return np_pairwise_sum(a, n2) + np_pairwise_sum(a + n2, n - n2);
+}
+
+// round(np.float64 x, 3): numpy scalar __round__ is scale-rint-unscale
+// (NOT python float's correctly-rounded decimal); rint under the default
+// FE_TONEAREST mode is the half-even rounding numpy uses.
+static inline double np_round3(double x) {
+  return std::rint(x * 1000.0) / 1000.0;
+}
+
+// The reference's per-event statistics (myDetect.py:342-343), operation
+// for operation: float32 of round(np.mean(seg), 3) / round(np.std(seg), 3)
+// with np.std's exact sequence (numpy _methods._var: arrmean = sum/n;
+// x = seg - arrmean; var = sum(x*x)/n; sqrt). `scratch` must hold cnt
+// doubles.
+static void ref_event_stat(const double* seg, int64_t cnt, double* scratch,
+                           float* mean_out, float* std_out) {
+  const double arrmean = np_pairwise_sum(seg, cnt) / (double)cnt;
+  *mean_out = (float)np_round3(arrmean);
+  for (int64_t j = 0; j < cnt; ++j) {
+    const double d = seg[j] - arrmean;
+    scratch[j] = d * d;
+  }
+  const double var = np_pairwise_sum(scratch, cnt) / (double)cnt;
+  *std_out = (float)np_round3(std::sqrt(var));
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
 // Event statistics: means/stds over [start, start+length) slices of the
-// (already normalized, round-3) signal. Signals are exact multiples of
-// 0.001, so integer cumulative sums give exact moments and deterministic
-// half-even rounding of the mean.
+// (already normalized, round-3) signal, replicating the reference's
+// round(np.mean/np.std, 3) arithmetic bit-for-bit (see ref_event_stat).
 // Returns number of valid events (may truncate like the python path), or
 // -1 when an empty slice occurs at index <= 500 ("Less event").
 int dmt_event_stats(const double* signal, int64_t n_signal,
                     const uint64_t* starts, const uint64_t* lengths,
                     int64_t n_events, float* means_out, float* stds_out) {
-  std::vector<int64_t> csum(n_signal + 1, 0);
-  std::vector<int64_t> csum2(n_signal + 1, 0);
-  for (int64_t i = 0; i < n_signal; ++i) {
-    const int64_t v = llround(signal[i] * 1000.0);
-    csum[i + 1] = csum[i] + v;
-    csum2[i + 1] = csum2[i] + v * v;
-  }
   // clamp to [0, n_signal]: a corrupt start wraps negative through the
   // int64 cast and must not index out of bounds
   int64_t n_valid = n_events;
+  int64_t max_cnt = 0;
   for (int64_t i = 0; i < n_events; ++i) {
     int64_t s = std::max<int64_t>(
         std::min<int64_t>((int64_t)starts[i], n_signal), 0);
@@ -58,31 +106,16 @@ int dmt_event_stats(const double* signal, int64_t n_signal,
       }
       return -1;  // "Less event"
     }
+    if (e - s > max_cnt) max_cnt = e - s;
   }
+  std::vector<double> scratch(max_cnt);
   for (int64_t i = 0; i < n_valid; ++i) {
     const int64_t s = std::max<int64_t>(
         std::min<int64_t>((int64_t)starts[i], n_signal), 0);
     const int64_t e = std::max<int64_t>(
         std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n_signal), 0);
-    const int64_t cnt = e - s;
-    const int64_t seg_sum = csum[e] - csum[s];
-    const int64_t seg_sum2 = csum2[e] - csum2[s];
-    // round-half-even of seg_sum / cnt (milli units)
-    int64_t q = seg_sum / cnt;
-    int64_t r = seg_sum % cnt;
-    if (r < 0) { q -= 1; r += cnt; }  // floor division
-    const int64_t twice = 2 * r;
-    if (twice > cnt || (twice == cnt && (q % 2 != 0))) q += 1;
-    means_out[i] = (float)(q / 1000.0);
-    const double exact_mean = (double)seg_sum / (double)cnt;
-    double var = (double)seg_sum2 / (double)cnt - exact_mean * exact_mean;
-    if (var < 0) var = 0;
-    // replicate the numpy twin's exact operation sequence:
-    // np.round(sqrt(var)/1000, 3) == rint(std*1000)/1000 with HALF-EVEN
-    // rounding (std::rint under the default FE_TONEAREST mode) — NOT
-    // std::round, whose half-away ties diverge at exact half-millis
-    const double std_f = std::sqrt(var) / 1000.0;
-    stds_out[i] = (float)(std::rint(std_f * 1000.0) / 1000.0);
+    ref_event_stat(signal + s, e - s, scratch.data(),
+                   &means_out[i], &stds_out[i]);
   }
   return (int)n_valid;
 }
@@ -290,14 +323,11 @@ void dmt_normalize_signal(double* signal, int64_t n, int64_t span_start,
 
 // ---------------------------------------------------------------------------
 // Fused normalization + event statistics: one call per read instead of a
-// normalize pass, a python re-quantization (round(signal*1000)), and two
-// full-signal int64 cumulative sums. The normalization is operation-for-
-// operation dmt_normalize_signal (the rounded float64 signal is still
-// produced in place — downstream consumers read it), but the final
-// rounding loop also captures the exact milli-unit integers the event
-// stats need, and the per-event moments come from direct segment sums
-// over that buffer (exact integer arithmetic, same half-even roundings
-// as dmt_event_stats / io.signal_norm.event_mean_std).
+// normalize pass plus a separate per-event stats pass. The normalization
+// is operation-for-operation dmt_normalize_signal (the rounded float64
+// signal is produced in place — downstream consumers read it); the
+// per-event moments then replicate the reference's round(np.mean/np.std)
+// arithmetic bit-for-bit over that normalized buffer (ref_event_stat).
 // Returns n_valid (possibly truncated), or -1 for the "Less event"
 // rejection. The signal is normalized in place in every case.
 int64_t dmt_normalize_event_stats(double* signal, int64_t n,
@@ -305,18 +335,13 @@ int64_t dmt_normalize_event_stats(double* signal, int64_t n,
                                   const uint64_t* starts,
                                   const uint64_t* lengths, int64_t n_events,
                                   float* means_out, float* stds_out) {
-  std::vector<int32_t> milli(n);
   NormStats st;
   if (fast_norm_stats(signal, span_start, span_end, &st)) {
     for (int64_t i = 0; i < n; ++i) {
       double v = (signal[i] - st.shift) / st.scale;
       if (v < st.lo) v = st.lo;
       else if (v > st.hi) v = st.hi;
-      const double r = std::nearbyint(v * 1000.0);  // half-even
-      signal[i] = r / 1000.0;
-      // span values are finite by construction (scale > 0), but samples
-      // OUTSIDE the span were never integrality-checked
-      milli[i] = std::isfinite(r) ? (int32_t)r : 0;
+      signal[i] = std::nearbyint(v * 1000.0) / 1000.0;  // half-even
     }
   } else {
     std::vector<double> span(signal + span_start, signal + span_end);
@@ -333,17 +358,14 @@ int64_t dmt_normalize_event_stats(double* signal, int64_t n,
       double v = signal[i];
       if (v < lo) v = lo;
       else if (v > hi) v = hi;
-      const double r = std::nearbyint(v * 1000.0);  // half-even, FE_TONEAREST
-      signal[i] = r / 1000.0;
-      // non-finite only on degenerate reads (zero-MAD span); such reads
-      // produce garbage stats on the numpy path too — any finite stand-in
-      // avoids the UB of casting NaN
-      milli[i] = std::isfinite(r) ? (int32_t)r : 0;
+      // half-even, FE_TONEAREST
+      signal[i] = std::nearbyint(v * 1000.0) / 1000.0;
     }
   }
   // clamp to [0, n]: a corrupt start wraps negative through the int64
   // cast and must not index out of bounds
   int64_t n_valid = n_events;
+  int64_t max_cnt = 0;
   for (int64_t i = 0; i < n_events; ++i) {
     const int64_t s = std::max<int64_t>(
         std::min<int64_t>((int64_t)starts[i], n), 0);
@@ -356,30 +378,16 @@ int64_t dmt_normalize_event_stats(double* signal, int64_t n,
       }
       return -1;  // "Less event"
     }
+    if (e - s > max_cnt) max_cnt = e - s;
   }
+  std::vector<double> scratch(max_cnt);
   for (int64_t i = 0; i < n_valid; ++i) {
     const int64_t s = std::max<int64_t>(
         std::min<int64_t>((int64_t)starts[i], n), 0);
     const int64_t e = std::max<int64_t>(
         std::min<int64_t>((int64_t)(starts[i] + lengths[i]), n), 0);
-    const int64_t cnt = e - s;
-    int64_t seg_sum = 0, seg_sum2 = 0;
-    for (int64_t j = s; j < e; ++j) {
-      const int64_t v = milli[j];
-      seg_sum += v;
-      seg_sum2 += v * v;
-    }
-    int64_t q = seg_sum / cnt;
-    int64_t r = seg_sum % cnt;
-    if (r < 0) { q -= 1; r += cnt; }  // floor division
-    const int64_t twice = 2 * r;
-    if (twice > cnt || (twice == cnt && (q % 2 != 0))) q += 1;
-    means_out[i] = (float)(q / 1000.0);
-    const double exact_mean = (double)seg_sum / (double)cnt;
-    double var = (double)seg_sum2 / (double)cnt - exact_mean * exact_mean;
-    if (var < 0) var = 0;
-    const double std_f = std::sqrt(var) / 1000.0;
-    stds_out[i] = (float)(std::rint(std_f * 1000.0) / 1000.0);
+    ref_event_stat(signal + s, e - s, scratch.data(),
+                   &means_out[i], &stds_out[i]);
   }
   return n_valid;
 }

@@ -49,6 +49,18 @@ class SynthConfig:
     # fast5 flavor: 'v2' (albacore 2.x events), 'v1' (albacore 1.x,
     # second-based starts), 'move' (guppy move table)
     fast5_style: str = "v2"
+    # dtype of the v2 Events start/length columns. '<u8' is the common
+    # layout; '<u4' matches basecallers whose rundif resegmentation the
+    # reference supports (EventTable.py mixes 'start' into argsort output
+    # and slice bounds — under modern numpy uint64+int promotes to
+    # float64 and breaks slicing, so rundif fixtures use '<u4')
+    v2_index_dtype: str = "<u8"
+    # force the last N event rows to move=0 (stays). The reference's
+    # rundif resegmenter allocates one 5-mer per produced event starting
+    # at fq offset 2 and crashes when sum(moves) > len(fq)-3
+    # (EventTable.py:75, model_state[2] on a short tail slice) — its real
+    # inputs end in stay events, so rundif fixtures must too
+    tail_stays: int = 0
     reads_per_file: int = 1   # >1 writes multi-read fast5 containers
 
 
@@ -162,11 +174,15 @@ def write_read_fast5(
             events.append((0.0, 0.0, starts[i] + half, lengths[i] - half, kmers[i], 0))
         else:
             events.append((0.0, 0.0, starts[i], lengths[i], kmers[i], 1))
+    idt = config.v2_index_dtype
     ev = np.array(
         events,
-        dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
-               ("length", "<u8"), ("model_state", "S5"), ("move", "<i8")],
+        dtype=[("mean", "<f8"), ("stdv", "<f8"), ("start", idt),
+               ("length", idt), ("model_state", "S5"), ("move", "<i8")],
     )
+    if config.tail_stays > 0:
+        ev["move"][-config.tail_stays:] = 0
+        ev["move"][0] = 1
     # fill event means from the signal (basecaller-ish)
     for row in ev:
         seg = signal[row["start"] : row["start"] + row["length"]]

@@ -156,17 +156,15 @@ def test_event_mean_std_matches_naive():
     m_event["length"] = rng.randint(3, 12, 50)
     out, n = event_mean_std(m_event.copy(), raw)
     assert n == 50
-    from fractions import Fraction
-
     for i in range(50):
         s, ln = int(starts[i]), int(m_event["length"][i])
         seg = raw[s : s + ln]
-        # exact rational half-even rounding (deviates from np.mean only on
-        # exact .0005 ties, where fp dust makes np.mean itself unstable)
-        exact = Fraction(int(round(seg.sum() * 1000))) / ln
-        want = round(exact) / 1000.0
-        assert out["mean"][i] == np.float32(want)
-        assert abs(out["stdv"][i] - round(np.std(seg), 3)) <= 0.001
+        # the LITERAL reference arithmetic (myDetect.py:342-343):
+        # round(np.float64, 3) is numpy's scale-rint-unscale __round__,
+        # and np.mean's pairwise summation decides exact .0005 ties —
+        # both must match bit-for-bit
+        assert out["mean"][i] == np.float32(round(np.mean(seg), 3))
+        assert out["stdv"][i] == np.float32(round(np.std(seg), 3))
 
 
 def test_event_mean_std_out_of_range_truncates():

@@ -1,0 +1,375 @@
+"""Differential tests executing the ACTUAL reference code as oracle.
+
+Round 1 proved parity only against builder-written transcriptions; these
+tests import /root/reference (TF stubbed, see tests/ref_oracle.py) and
+execute the reference's own functions on randomized synthetic fixtures,
+comparing byte-for-byte (VERDICT.md "Next round" #1 and #2):
+
+- ingestion: get_Event_Signals (myDetect.py:348-386) — getEvent v1/v2,
+  EventTable rundif, MoveTable, mnormalized, per-event mean/std — vs
+  io.fast5.read_fast5_file;
+- motif labels: readMotifMod (myGetFeatureBasedPos.py:615-647) vs
+  features.labels.scan_motif;
+- detect: handle_line + handle_record (myDetect.py:929-943, 488-782) with
+  a deterministic stand-in classifier, comparing the RNN input windows,
+  predetail HDF5 contents, index entries, and the final BEDs produced by
+  the reference's own sum_handler (myDetect.py:1028-1120) — run over BOTH
+  sides' per-read outputs — against detect_run's BEDs;
+- getfeatures: the labeled handle_record (myGetFeatureBasedPos.py:109-350,
+  get_Feature :355-528) vs getfeatures_run, comparing decompressed
+  .xy.gz text and .xy.ind sidecars, including flush boundaries.
+
+The reference's rundif path predates modern numpy (uint64 event starts
+promote to float64 and break slicing; the resegmenter also requires
+trailing stay events) — those fixtures use '<u4' starts + tail_stays.
+"""
+
+import glob
+import gzip
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import ref_oracle
+from deepmod_tpu.engine.detect import DetectConfig, detect_run
+from deepmod_tpu.engine.getfeatures import GetFeaturesConfig, getfeatures_run
+from deepmod_tpu.io.fast5 import Fast5ReadOptions, read_fast5_file
+from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+
+EVENT_FIELDS = ("mean", "stdv", "start", "length", "model_state")
+
+
+def _write_sam(path, records):
+    with open(path, "w") as fh:
+        for rec in records:
+            fh.write(
+                "\t".join(
+                    [rec.qname, str(rec.flag), rec.rname, str(rec.pos),
+                     str(rec.mapq), rec.cigar, "*", "0", "0", rec.seq, "*"]
+                )
+                + "\n"
+            )
+
+
+def _prepare(tmp_path, synth_cfg):
+    """Dataset + my ingestion + shared builtin-aligner SAM."""
+    from deepmod_tpu.align.aligner import get_aligner
+
+    genome, reads = generate_dataset(str(tmp_path), synth_cfg)
+    ref_fa = os.path.join(str(tmp_path), "ref.fa")
+    f5mine = {r.read_id: read_fast5_file(r.path) for r in reads}
+    aligner = get_aligner(ref_fa, "builtin", ref_seqs=genome)
+    records = aligner.align({rid: fr.basecall for rid, fr in f5mine.items()})
+    sam_path = os.path.join(str(tmp_path), "aln.sam")
+    _write_sam(sam_path, records)
+    sam_lines = [l.rstrip("\n") for l in open(sam_path)]
+    return genome, reads, ref_fa, f5mine, sam_path, sam_lines
+
+
+# ---------------------------------------------------------------- ingestion
+
+
+@pytest.mark.parametrize(
+    "style,n_reads,extra_moptions,extra_readopts",
+    [
+        ("v1", 40, {}, {}),
+        ("v2", 40, {}, {}),
+        ("move", 25, {"move": True}, {"move": True}),
+    ],
+)
+def test_ingestion_differential(tmp_path, style, n_reads, extra_moptions,
+                                extra_readopts):
+    cfg = SynthConfig(
+        num_reads=n_reads, seed=100 + n_reads, fast5_style=style,
+        genome_sizes={"chrA": 30000, "chrB": 15000},
+        read_length=(600, 1800),
+    )
+    _, reads = generate_dataset(str(tmp_path), cfg)
+    f5ref, errs = ref_oracle.ref_get_event_signals(
+        [r.path for r in reads], **extra_moptions
+    )
+    assert not errs, errs
+    opts = Fast5ReadOptions(**extra_readopts)
+    assert len(f5ref) == len(reads)
+    for r in reads:
+        mine = read_fast5_file(r.path, opts)
+        basecall, m_event, raw, _path, skip = f5ref[r.read_id]
+        assert basecall == mine.basecall
+        assert tuple(skip) == tuple(mine.left_right_skip)
+        assert np.array_equal(raw, mine.raw_signals)
+        assert len(m_event) == len(mine.m_event)
+        for f in EVENT_FIELDS:
+            assert np.array_equal(m_event[f], mine.m_event[f]), (
+                r.read_id, f
+            )
+
+
+def test_ingestion_differential_rundif(tmp_path):
+    cfg = SynthConfig(
+        num_reads=15, seed=77, fast5_style="v2", v2_index_dtype="<u4",
+        tail_stays=3, genome_sizes={"chrA": 25000}, read_length=(600, 1400),
+    )
+    _, reads = generate_dataset(str(tmp_path), cfg)
+    f5ref, errs = ref_oracle.ref_get_event_signals(
+        [r.path for r in reads], SignalGroup="rundif"
+    )
+    assert not errs, errs
+    opts = Fast5ReadOptions(signal_group="rundif")
+    for r in reads:
+        mine = read_fast5_file(r.path, opts)
+        basecall, m_event, raw, _path, _skip = f5ref[r.read_id]
+        assert basecall == mine.basecall
+        assert np.array_equal(raw, mine.raw_signals)
+        assert len(m_event) == len(mine.m_event)
+        for f in EVENT_FIELDS:
+            assert np.array_equal(m_event[f], mine.m_event[f]), (
+                r.read_id, f
+            )
+
+
+# -------------------------------------------------------------- motif labels
+
+
+def test_motif_scan_differential():
+    from deepmod_tpu.features.labels import scan_motif
+
+    rng = np.random.RandomState(5)
+    genome = {
+        "c1": "".join(rng.choice(list("ACGT"), 5000)),
+        "c2": "".join(rng.choice(list("ACGT"), 3000)),
+    }
+    for mpat, off in (("CG", 0), ("GATC", 1), ("A", 0)):
+        fulmod, _cand = ref_oracle.ref_read_motif_mod(genome, mpat, off)
+        my_fulmod, _my_cand = scan_motif(genome, mpat, off)
+        for chrom in genome:
+            ref_set = set(fulmod[chrom].keys())
+            mine = my_fulmod.get(chrom) or set()
+            my_set = {(s, int(p)) for (s, p) in mine}
+            assert ref_set == my_set, (mpat, off, chrom)
+
+
+# ------------------------------------------------------------------- detect
+
+
+class _RulePredictor:
+    """Duck-typed WindowPredictor applying ref_oracle.center_mean_rule
+    directly on the compact feature blocks (column fnum-3 == the center
+    event's mean; exact under float32 — all feature values are either
+    3-decimal-rounded float32s or small integers)."""
+
+    config = SimpleNamespace(timesteps=21)
+
+    def predict_from_features(self, features, centers, window=21):
+        return (features[centers, features.shape[1] - 3] > 0).astype(np.int8)
+
+
+def _load_predetail(path):
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as fh:
+        for key in fh["pred"]:
+            g = fh[f"pred/{key}"]
+            out[key] = (dict(g.attrs), g["predetail"][()])
+    return out
+
+
+def _my_windows(sam_path, ref_fa, paths, fnum):
+    """Rebuild the exact window batches my engine feeds the classifier
+    (compact blocks -> strided windows), in the engine's read order."""
+    from deepmod_tpu.engine.detect import DetectConfig as DC
+    from deepmod_tpu.engine.detect import _host_options
+    from deepmod_tpu.engine.host_worker import host_process_files, init_worker
+
+    conf = DC(
+        wrk_base="", ref=ref_fa, model_path="unused", out_folder="",
+        fnum=fnum, align_str=sam_path,
+    )
+    init_worker(_host_options(conf))
+    results, _errs = host_process_files(paths)
+    wins = []
+    for r in results:
+        view = np.lib.stride_tricks.sliding_window_view(
+            r.features, 21, axis=0
+        )
+        centers = 100 + np.arange(r.n_aligned)
+        wins.append(np.moveaxis(view[centers - 10], 2, 1))
+    return np.concatenate(wins, axis=0)
+
+
+@pytest.mark.parametrize("fnum", [7, 57])
+def test_detect_differential(tmp_path, fnum):
+    cfg = SynthConfig(
+        num_reads=12, seed=31, fast5_style="v2",
+        genome_sizes={"chrA": 30000, "chrB": 20000},
+        read_length=(700, 1500),
+    )
+    genome, reads, ref_fa, f5mine, sam_path, sam_lines = _prepare(
+        tmp_path, cfg
+    )
+    wrk_base = os.path.join(str(tmp_path), "fast5")
+
+    # ---- reference side: its own ingestion + handle_record chain
+    f5ref, errs = ref_oracle.ref_get_event_signals([r.path for r in reads])
+    assert not errs
+    for rid in f5ref:  # both ingestions agreed (also pinned above)
+        assert f5ref[rid][0] == f5mine[rid].basecall
+    ref_out = os.path.join(str(tmp_path), "refout", "mod")
+    ct = os.path.join(ref_out, "0")
+    os.makedirs(ct, exist_ok=True)
+    sp_options, session = ref_oracle.ref_detect_batch(
+        f5ref, sam_lines, genome, ct, batchid=0,
+        wrkBase=wrk_base, outFolder=os.path.join(str(tmp_path), "refout") + "/",
+        FileID="mod", fnum=fnum,
+    )
+    assert not dict(sp_options["Error"]), dict(sp_options["Error"])
+    assert len(sp_options["Mod"]) == len(reads)
+
+    # ---- my side: detect_run over the same SAM with the same rule
+    my_out = os.path.join(str(tmp_path), "myout")
+    dconf = DetectConfig(
+        wrk_base=wrk_base, ref=ref_fa, model_path="unused",
+        out_folder=my_out, file_id="mod", base="C", fnum=fnum,
+        align_str=sam_path, threads=1, use_pallas=False,
+    )
+    res = detect_run(dconf, predictor=_RulePredictor())
+    assert res.num_reads == len(reads)
+
+    # ---- the exact windows fed to the model match (full feature parity,
+    # histogram columns included)
+    ref_windows = np.concatenate(session.windows, axis=0)
+    mine_windows = _my_windows(
+        sam_path, ref_fa, [r.path for r in reads], fnum
+    ).astype(np.float64)
+    assert ref_windows.shape == mine_windows.shape
+    assert np.array_equal(ref_windows, mine_windows)
+
+    # ---- predetail HDF5 contents
+    ref_pd = _load_predetail(os.path.join(ct, "rnn.pred.detail.fast5.0"))
+    my_pd = _load_predetail(
+        os.path.join(my_out, "mod", "0", "rnn.pred.detail.fast5.0")
+    )
+    assert sorted(ref_pd) == sorted(my_pd)
+    for key in ref_pd:
+        ra, rd = ref_pd[key]
+        ma, md = my_pd[key]
+        assert set(ra) == set(ma)
+        for attr in ra:
+            rv, mv = ra[attr], ma[attr]
+            rv = rv.decode() if isinstance(rv, bytes) else rv
+            mv = mv.decode() if isinstance(mv, bytes) else mv
+            assert str(rv) == str(mv), (key, attr, rv, mv)
+        assert rd.dtype == md.dtype
+        assert np.array_equal(rd, md), key
+
+    # ---- index entries (my merged files vs the reference's Mod list;
+    # my files sort rows — a documented deviation — so compare as sets)
+    ref_entries = sorted(tuple(str(x) for x in mod) for mod in sp_options["Mod"])
+    my_entries = []
+    my_index_files = sorted(
+        glob.glob(os.path.join(my_out, "mod", "rnn.pred.ind.*"))
+    )
+    for p in my_index_files:
+        for line in open(p):
+            if not line.startswith("#"):
+                my_entries.append(tuple(line.split()[:6]))
+    assert ref_entries == sorted(my_entries)
+
+    # ---- reference sum_handler over the REFERENCE's outputs == my BEDs
+    chr_strands = sorted({(e[0], e[1]) for e in ref_entries})
+    ref_sum_in = []
+    for chrom in sorted({c for c, _ in chr_strands}):
+        cif = os.path.join(ref_out, f"rnn.pred.ind.{chrom}")
+        with open(cif, "w") as fh:
+            fh.write(f"#base_folder_fast5 {wrk_base} \n")
+            fh.write(f"#base_folder_output {ref_out} \n")
+            for e in ref_entries:
+                if e[0] == chrom:
+                    fh.write(" ".join(list(e) + ["\n"]))
+        for c, s in chr_strands:
+            if c == chrom:
+                ref_sum_in.append((cif, c, s))
+    ref_sum_out = os.path.join(str(tmp_path), "refsum")
+    os.makedirs(ref_sum_out, exist_ok=True)
+    beds = ref_oracle.ref_sum_handler(ref_sum_in, ref_sum_out, base="C")
+    assert beds
+    for bed in beds:
+        mine = os.path.join(my_out, os.path.basename(bed))
+        assert os.path.exists(bed) and os.path.exists(mine), bed
+        assert open(bed, "rb").read() == open(mine, "rb").read(), bed
+
+    # ---- reference sum_handler over MY per-read outputs == my BEDs
+    # (closes the L6 loop through the reference's own reader/aggregator)
+    my_sum_in = []
+    for p in my_index_files:
+        chrom = os.path.basename(p).split("rnn.pred.ind.")[-1]
+        for c, s in chr_strands:
+            if c == chrom:
+                my_sum_in.append((p, c, s))
+    my_sum_out = os.path.join(str(tmp_path), "mysum")
+    os.makedirs(my_sum_out, exist_ok=True)
+    beds2 = ref_oracle.ref_sum_handler(my_sum_in, my_sum_out, base="C")
+    assert beds2
+    for bed in beds2:
+        mine = os.path.join(my_out, os.path.basename(bed))
+        assert open(bed, "rb").read() == open(mine, "rb").read(), bed
+
+
+# -------------------------------------------------------------- getfeatures
+
+
+@pytest.mark.parametrize(
+    "posneg,fnum,spb",
+    [(1, 7, 1.0), (0, 7, 1.0), (1, 57, 1.0), (1, 7, 0.01)],
+)
+def test_getfeatures_differential(tmp_path, posneg, fnum, spb):
+    cfg = SynthConfig(
+        num_reads=10, seed=41, fast5_style="v2",
+        genome_sizes={"chrA": 30000}, read_length=(900, 1600),
+        mod_motif="CG", mod_offset=0, mod_level_shift=0.6,
+    )
+    genome, reads, ref_fa, f5mine, sam_path, sam_lines = _prepare(
+        tmp_path, cfg
+    )
+    fulmod, _cand = ref_oracle.ref_read_motif_mod(genome, "CG", 0)
+    f5ref, errs = ref_oracle.ref_get_event_signals([r.path for r in reads])
+    assert not errs
+
+    ref_out = os.path.join(str(tmp_path), "refgf", "0")
+    os.makedirs(ref_out, exist_ok=True)
+    sp_options = ref_oracle.ref_getfeatures_batch(
+        f5ref, sam_lines, genome, ref_out,
+        fulmodlist=fulmod, anymodlist=None, nomodlist=None,
+        motif=("CG", 0), posneg=posneg, fnum=fnum,
+        size_per_batch=spb * 1e7, region=(None, None, None),
+    )
+    assert not dict(sp_options["Error"]), dict(sp_options["Error"])
+
+    my_out = os.path.join(str(tmp_path), "mygf")
+    gconf = GetFeaturesConfig(
+        wrk_base=os.path.join(str(tmp_path), "fast5"), ref=ref_fa,
+        out_folder=my_out, posneg=posneg, fnum=fnum, size_per_batch=spb,
+        motif_or_pos=1, motif="CG", mod_offset=0, align_str=sam_path,
+        threads=1,
+    )
+    res = getfeatures_run(gconf)
+    assert res.num_reads == len(reads)
+
+    ref_files = sorted(
+        glob.glob(os.path.join(ref_out, "*.xy.gz")),
+        key=lambda p: int(os.path.basename(p).split(".")[0]),
+    )
+    my_files = sorted(
+        glob.glob(os.path.join(my_out, "0", "*.xy.gz")),
+        key=lambda p: int(os.path.basename(p).split(".")[0]),
+    )
+    assert len(ref_files) == len(my_files) and ref_files
+    if spb < 1.0:
+        assert len(ref_files) > 1  # the flush boundary is actually hit
+    for rf, mf in zip(ref_files, my_files):
+        assert gzip.open(rf).read() == gzip.open(mf).read(), rf
+        ri = open(rf.replace(".xy.gz", ".xy.ind"), "rb").read()
+        mi = open(mf.replace(".xy.gz", ".xy.ind"), "rb").read()
+        assert ri == mi, rf
