@@ -118,10 +118,52 @@ class PositionCounts:
                 dseen |= seen
             return
         # mixed dense/chunked (different DENSE_LIMIT classification can
-        # only happen across versions; handle it via the generic path)
-        for pos, cov, mod in other.iter_seen():
-            arr = np.asarray([pos])
-            self.add(arr, np.repeat(arr, cov), np.repeat(arr, mod))
+        # only happen across versions); COO transfer is O(seen positions)
+        self.add_coo(*other.to_coo())
+
+    def to_coo(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sparse view: (positions, coverage, mod_count) int64/int32/int32
+        arrays over SEEN positions, in position order. The wire format for
+        cross-process merges (parallel.cross_process)."""
+        if self.dense:
+            pos = np.flatnonzero(self.seen).astype(np.int64)
+            return pos, self.coverage[pos], self.mod_count[pos]
+        parts = []
+        for cid in sorted(self._chunks):
+            cov, mod, seen = self._chunks[cid]
+            local = np.flatnonzero(seen)
+            parts.append(
+                ((cid << CHUNK_BITS) + local.astype(np.int64),
+                 cov[local], mod[local])
+            )
+        if not parts:
+            empty = np.empty(0, np.int64)
+            return empty, np.empty(0, np.int32), np.empty(0, np.int32)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+    def add_coo(
+        self, pos: np.ndarray, cov: np.ndarray, mod: np.ndarray
+    ) -> None:
+        """Accumulate sparse counts (positions may repeat)."""
+        if len(pos) == 0:
+            return
+        if self.dense:
+            self.seen[pos] = True
+            np.add.at(self.coverage, pos, cov.astype(np.int32))
+            np.add.at(self.mod_count, pos, mod.astype(np.int32))
+            return
+        cids = pos >> CHUNK_BITS
+        for cid in np.unique(cids):
+            m = cids == cid
+            local = pos[m] & (CHUNK - 1)
+            dcov, dmod, dseen = self._chunk(int(cid))
+            dseen[local] = True
+            np.add.at(dcov, local, cov[m].astype(np.int32))
+            np.add.at(dmod, local, mod[m].astype(np.int32))
 
     def _grow(self, length: int) -> None:
         assert self.dense

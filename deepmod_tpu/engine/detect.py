@@ -504,12 +504,17 @@ def apply_batch_outputs(
     outputs_ctx.__exit__(None, None, None)
     if batch_obs:
         # ONE device reduction per (chr, strand) for the whole batch:
-        # scatter-add per shard + psum over the mesh (parallel.aggregation)
+        # scatter-add per shard + psum over the mesh (parallel.aggregation).
+        # LOCAL devices only: under a multi-process jax.distributed runtime
+        # each process reduces its own batches independently (batch counts
+        # differ per process, so a global collective here would deadlock);
+        # the end-of-run cross-process merge (parallel.cross_process)
+        # combines the per-process results.
         from jax.sharding import Mesh
 
         from deepmod_tpu.parallel.aggregation import sharded_position_counts
 
-        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
         n_dev = mesh.devices.size
         with stage("device_aggregation"):
             for key, obs in batch_obs.items():
@@ -531,9 +536,13 @@ def apply_batch_outputs(
 
 
 def _write_index_files(
-    index_entries: List[List[str]], config: DetectConfig
+    index_entries: List[List[str]], config: DetectConfig, suffix: str = ""
 ) -> None:
-    """Merged per-chromosome index files (myDetect.py:1195-1221)."""
+    """Merged per-chromosome index files (myDetect.py:1195-1221).
+
+    ``suffix`` ('.p<pid>' under a multi-process runtime) keeps processes
+    on a shared filesystem from clobbering each other; process 0 then
+    combines parts (parallel.cross_process.merge_index_parts)."""
     out_base = os.path.join(config.out_folder, config.file_id)
     by_chr: Dict[str, List[List[str]]] = defaultdict(list)
     for entry in index_entries:
@@ -542,7 +551,7 @@ def _write_index_files(
         entries = sorted(
             entries, key=lambda e: (e[0], e[1], int(e[2]), e[3], e[4], e[5])
         )
-        path = os.path.join(out_base, f"{PRE_BASE_STR}.{chrom}")
+        path = os.path.join(out_base, f"{PRE_BASE_STR}.{chrom}{suffix}")
         with open(path, "w") as fh:
             fh.write(f"#base_folder_fast5 {config.wrk_base} \n")
             fh.write(
@@ -650,9 +659,16 @@ def _detect_run_inner(
         for i in range(n_batches)
     ]
 
+    # under a multi-process runtime every process writes its per-read
+    # outputs into a private p<pid>/ tree (batch ids restart at 0 in each
+    # process, so shared paths would collide)
+    multi_proc = jax.process_count() > 1 and config.host_shard is None
+    proc_dir = f"p{jax.process_index()}" if multi_proc else ""
+
     def ct_folder_for(batch_id: int) -> str:
         folder = os.path.join(
-            config.out_folder, config.file_id, str(batch_id // sub_folder_size)
+            config.out_folder, config.file_id, proc_dir,
+            str(batch_id // sub_folder_size),
         )
         os.makedirs(folder, exist_ok=True)
         return folder
@@ -763,19 +779,52 @@ def _detect_run_inner(
             drain_outputs(0)
 
     if config.write_per_read:
-        _write_index_files(all_index, config)
+        _write_index_files(
+            all_index, config, suffix=f".{proc_dir}" if multi_proc else ""
+        )
+
+    if multi_proc:
+        # SPMD merge over ICI/DCN replacing the reference's filesystem
+        # barrier (myDetect.py:1196-1221): per-(chr,strand) COO counts are
+        # all-gathered across processes (deterministic key grid from the
+        # replicated FASTA), then process 0 alone emits the merged BEDs.
+        from deepmod_tpu.io.fasta import FastaReference
+        from deepmod_tpu.parallel.cross_process import (
+            merge_counts_across_processes,
+            merge_index_parts,
+        )
+
+        with timer.stage("cross_process_merge"):
+            ref_fa = FastaReference(config.ref)
+            chrom_lengths = {n: ref_fa.length(n) for n in ref_fa.names()}
+            counts = merge_counts_across_processes(counts, chrom_lengths)
+        if config.write_per_read:
+            # every process has written its index parts once it reaches
+            # the collective above; merge on the lead process (no-op for
+            # parts on another host's private disk)
+            if jax.process_index() == 0:
+                merge_index_parts(
+                    os.path.join(config.out_folder, config.file_id),
+                    PRE_BASE_STR,
+                )
 
     bed_files: List[str] = []
-    prefix = "cluster_mod_pos" if config.mod_cluster else "mod_pos"
-    for (chrom, strand), pc in sorted(counts.items()):
-        bed_path = os.path.join(
-            config.out_folder, f"{prefix}.{chrom}{strand}.{config.base}.bed"
-        )
-        if write_bed(bed_path, chrom, strand, config.base, pc) > 0:
-            bed_files.append(bed_path)
+    if not multi_proc or jax.process_index() == 0:
+        prefix = "cluster_mod_pos" if config.mod_cluster else "mod_pos"
+        for (chrom, strand), pc in sorted(counts.items()):
+            bed_path = os.path.join(
+                config.out_folder, f"{prefix}.{chrom}{strand}.{config.base}.bed"
+            )
+            if write_bed(bed_path, chrom, strand, config.base, pc) > 0:
+                bed_files.append(bed_path)
 
-    # completion sentinel (myDetect.py:1263)
-    open(config.out_folder.rstrip("/") + ".done", "w").close()
+        # completion sentinel (myDetect.py:1263)
+        open(config.out_folder.rstrip("/") + ".done", "w").close()
+    if multi_proc:
+        from jax.experimental import multihost_utils
+
+        # other processes return only after the lead finished the outputs
+        multihost_utils.sync_global_devices("dmt_detect_done")
 
     return DetectResult(
         out_folder=config.out_folder,
