@@ -154,8 +154,14 @@ def cmd_train(args) -> int:
         return 1
     groups.sort(key=len, reverse=True)  # largest group drives (:457-458)
     init_params = None
+    resume_opt_from = None
     if args.modfile:
         init_params, _ = load_model(args.modfile)
+        if args.modfile.endswith(".npz"):
+            # native checkpoints carry the Adam slots; restoring them
+            # makes --modfile a true continuation (the reference's
+            # resume never worked, myMultiBiRNN.py:117)
+            resume_opt_from = args.modfile
     config = TrainConfig(
         out_folder=args.outFolder,
         file_id=args.FileID,
@@ -166,7 +172,10 @@ def cmd_train(args) -> int:
         output_layer=args.outputlayer,
         test=args.test,
     )
-    train_run(groups, config, init_params=init_params)
+    train_run(
+        groups, config, init_params=init_params,
+        resume_opt_from=resume_opt_from,
+    )
     print("Training Finished!")
     return 0
 

@@ -47,9 +47,11 @@ class HostReadResult:
     """One read, fully prepared for device inference.
 
     Carries the compact (rows, fnum) feature block instead of
-    materialized windows: the 21x-overlapping windows are gathered
-    ON-DEVICE (WindowPredictor.predict_from_features), cutting worker
-    IPC and host->device transfer ~21x.
+    materialized windows, cutting worker IPC ~21x; the 21x-overlapping
+    windows are materialized as strided views on the main-process host
+    just before transfer (WindowPredictor.predict_from_features — an
+    on-device gather variant measured 12x slower on this hardware, see
+    engine/detect.py).
     """
 
     read_id: str

@@ -112,8 +112,48 @@ def load_cluster_checkpoint(prefix: str) -> Tuple[Dict[str, Any], ClusterMLPConf
     return params, config
 
 
-def save_bilstm_npz(path: str, params: Dict[str, Any], config: BiLSTMConfig) -> None:
-    """Persist a BiLSTM pytree as a flat .npz (native checkpoint format)."""
+def _flatten_bilstm_tree(tree: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flatten a params-shaped pytree (fw/bw layer lists + out_w/out_b)
+    into the .npz key naming. Adam's mu/nu mirror the params structure,
+    so the same flattener serializes them."""
+    flat = {
+        "out_w": np.asarray(tree["out_w"]),
+        "out_b": np.asarray(tree["out_b"]),
+    }
+    for direction in ("fw", "bw"):
+        for layer, lp in enumerate(tree[direction]):
+            flat[f"{direction}/{layer}/kernel"] = np.asarray(lp["kernel"])
+            flat[f"{direction}/{layer}/bias"] = np.asarray(lp["bias"])
+    return flat
+
+
+def _unflatten_bilstm_tree(get, num_layers: int) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {"fw": [], "bw": []}
+    for direction in ("fw", "bw"):
+        for layer in range(num_layers):
+            tree[direction].append(
+                {
+                    "kernel": get(f"{direction}/{layer}/kernel"),
+                    "bias": get(f"{direction}/{layer}/bias"),
+                }
+            )
+    tree["out_w"] = get("out_w")
+    tree["out_b"] = get("out_b")
+    return tree
+
+
+def save_bilstm_npz(
+    path: str,
+    params: Dict[str, Any],
+    config: BiLSTMConfig,
+    opt_state=None,
+) -> None:
+    """Persist a BiLSTM pytree as a flat .npz (native checkpoint format).
+
+    With ``opt_state`` (an optax.adam state), the Adam slots ride along
+    (``adam/count`` + ``adam/{mu,nu}/...``) so `--modfile` resume is a
+    true continuation — matching the reference Saver's slot coverage
+    (myMultiBiRNN.py:89 checkpoints the <var>/Adam, <var>/Adam_1 pairs)."""
     flat = {
         "meta/num_input": np.int64(config.num_input),
         "meta/num_hidden": np.int64(config.num_hidden),
@@ -121,14 +161,37 @@ def save_bilstm_npz(path: str, params: Dict[str, Any], config: BiLSTMConfig) -> 
         "meta/num_layers": np.int64(config.num_layers),
         "meta/num_classes": np.int64(config.num_classes),
         "meta/output_layer": np.bytes_(config.output_layer.encode()),
-        "out_w": np.asarray(params["out_w"]),
-        "out_b": np.asarray(params["out_b"]),
     }
-    for direction in ("fw", "bw"):
-        for layer, lp in enumerate(params[direction]):
-            flat[f"{direction}/{layer}/kernel"] = np.asarray(lp["kernel"])
-            flat[f"{direction}/{layer}/bias"] = np.asarray(lp["bias"])
+    flat.update(_flatten_bilstm_tree(params))
+    if opt_state is not None:
+        adam = opt_state[0]  # ScaleByAdamState of optax.adam's chain
+        flat["adam/count"] = np.asarray(adam.count)
+        for name, tree in (("mu", adam.mu), ("nu", adam.nu)):
+            for key, arr in _flatten_bilstm_tree(tree).items():
+                flat[f"adam/{name}/{key}"] = arr
     np.savez(path, **flat)
+
+
+def load_adam_state(path: str, optimizer, params):
+    """Rebuild the optax.adam state stored by ``save_bilstm_npz``.
+
+    Returns None when the checkpoint predates slot saving (params-only
+    .npz) — callers then fall back to a fresh ``optimizer.init``."""
+    data = np.load(path)
+    if "adam/count" not in data:
+        return None
+    state = optimizer.init(params)
+    num_layers = int(data["meta/num_layers"])
+    mu = _unflatten_bilstm_tree(
+        lambda k: data[f"adam/mu/{k}"], num_layers
+    )
+    nu = _unflatten_bilstm_tree(
+        lambda k: data[f"adam/nu/{k}"], num_layers
+    )
+    adam = state[0]._replace(
+        count=data["adam/count"], mu=mu, nu=nu
+    )
+    return (adam,) + tuple(state[1:])
 
 
 def load_bilstm_npz(path: str) -> Tuple[Dict[str, Any], BiLSTMConfig]:
