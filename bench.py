@@ -32,6 +32,45 @@ BASELINE_WINDOWS_PER_S = 5.7e4  # reference, 15 CPU threads (see docstring)
 
 ITERS = 16
 
+# peak dense-matmul throughput by device kind (bf16, FLOP/s); used for
+# the MFU fields. Sources: public TPU spec sheets.
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12, "trillium": 918e12,
+}
+
+
+def _peak_for(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in sorted(PEAK_BF16.items(), key=lambda kv: -len(kv[0])):
+        if key in kind:
+            return peak
+    return None
+
+
+def model_flops_per_window(
+    fnum: int = 7, hidden: int = 100, timesteps: int = 21, layers: int = 3
+) -> tuple:
+    """(useful, padded) matmul FLOPs per window for the production kernel.
+
+    Useful counts the model's actual gate GEMMs over the readout cone
+    (T//2+1 steps per lane per layer — all the center logit needs);
+    padded counts what the MXU executes at the kernel's LANE=128 /
+    GATES=512 padding. Elementwise/transcendental work excluded.
+    """
+    steps = timesteps // 2 + 1
+    gates = 4 * hidden
+    useful = 0
+    padded = 0
+    for layer in range(layers):
+        cur_in = fnum if layer == 0 else hidden
+        useful += 2 * (cur_in + hidden) * gates * steps * 2  # 2 lanes
+        padded += 2 * (128 + 128) * 512 * steps * 2
+    useful += 2 * (2 * hidden) * 2  # output matmul (200, 2)
+    return useful, padded
+
 
 def measure(fn, params, x, batch: int) -> float:
     """Sustained windows/s via chained on-device accumulation."""
@@ -108,6 +147,24 @@ def main() -> None:
           break
       time.sleep(30)  # transient backend trouble: one retry
 
+    useful_fpw, padded_fpw = model_flops_per_window()
+    peak = _peak_for(jax.devices()[0]) if backend == "tpu" else None
+    mfu = round(best * useful_fpw / peak, 4) if peak else None
+    mxu_util = round(best * padded_fpw / peak, 4) if peak else None
+
+    # warm end-to-end pipeline rate (fast5 -> align -> features -> device
+    # classify -> HDF5 + BED) on a small synthetic set; the kernel number
+    # above is device-only. On THIS machine the tunnel RTT dominates e2e
+    # (see scripts/bench_e2e.py docstring).
+    e2e_windows = e2e_reads = None
+    try:
+        e2e_windows, e2e_reads = _measure_e2e()
+    except Exception as exc:
+        import sys
+
+        print(f"bench e2e failed: {type(exc).__name__}: {str(exc)[:200]}",
+              file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -117,9 +174,72 @@ def main() -> None:
                 "vs_baseline": round(best / BASELINE_WINDOWS_PER_S, 2),
                 "config": best_tag,
                 "backend": backend,
+                "device_kind": getattr(
+                    jax.devices()[0], "device_kind", "unknown"
+                ),
+                "mfu": mfu,                 # useful model FLOPs / peak bf16
+                "mxu_util": mxu_util,       # padded kernel FLOPs / peak bf16
+                "model_flops_per_window": useful_fpw,
+                "padded_flops_per_window": padded_fpw,
+                "e2e_windows_per_s": e2e_windows,
+                "e2e_reads_per_s": e2e_reads,
             }
         )
     )
+
+
+def _measure_e2e(reads: int = 40):
+    """Warm end-to-end detect rate on a synthetic dataset (one cold pass
+    for compiles, one timed warm pass). Returns (windows/s, reads/s)."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    import jax
+
+    from deepmod_tpu.engine.detect import (
+        DetectConfig,
+        WindowPredictor,
+        detect_run,
+    )
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+    from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+
+    work = tempfile.mkdtemp(prefix="dmt_bench_e2e_")
+    try:
+        generate_dataset(work, SynthConfig(num_reads=reads, seed=11))
+        model_config = BiLSTMConfig(num_input=7)
+        params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
+        import os
+
+        predictor = WindowPredictor(
+            params, model_config,
+            precision="bf16" if jax.default_backend() == "tpu" else "fp32",
+        )
+        config = DetectConfig(
+            wrk_base=os.path.join(work, "fast5"),
+            ref=os.path.join(work, "ref.fa"),
+            model_path="unused",
+            out_folder=os.path.join(work, "out_warm"),
+            file_id="mod",
+            base="C",
+            threads=1,
+        )
+        detect_run(
+            dataclasses.replace(
+                config, out_folder=os.path.join(work, "out_cold")
+            ),
+            predictor,
+        )
+        t0 = time.perf_counter()
+        result = detect_run(config, predictor)
+        dt = time.perf_counter() - t0
+        return (
+            round(result.num_windows / dt, 1),
+            round(result.num_reads / dt, 2),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

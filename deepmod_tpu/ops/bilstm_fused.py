@@ -306,6 +306,95 @@ def _mono_kernel(
         dst_fw, dst_bw = (sfw_b, sbw_b) if layer % 2 == 0 else (sfw_a, sbw_a)
 
 
+def _mono_merged_kernel(
+    x_ref,
+    *rest,
+    num_layers: int,
+    in_steps: int,
+    out_steps: int,
+    forget_bias: float,
+    seq_dtype=jnp.float32,
+):
+    """Mono kernel with the [x_t; h] MERGED gate GEMM.
+
+    Each cell step issues ONE (tile_b, 2*LANE) @ (2*LANE, GATES) matmul
+    instead of two (tile_b, LANE) @ (LANE, GATES) dots — half the MXU
+    dispatches at identical FLOPs, the lever an issue-rate-bound kernel
+    responds to. Costs two VPU stores per step to assemble the [x; h]
+    operand in VMEM scratch (probe: scripts/probe_merged_gemm.py).
+
+    rest = 4*num_layers weight refs (packed W=[Wx;Wh] + bias per lane),
+    2 output refs, then scratch: c/h per lane, xh assembly buffers, and
+    4 sequence ping-pong buffers.
+    """
+    w_refs = rest[: 4 * num_layers]
+    out_fw_ref, out_bw_ref = rest[4 * num_layers : 4 * num_layers + 2]
+    (c_fw, h_fw, c_bw, h_bw, xh_fw, xh_bw,
+     sfw_a, sbw_a, sfw_b, sbw_b) = rest[4 * num_layers + 2 :]
+
+    prescaled = seq_dtype == jnp.bfloat16
+
+    def cell(xh_ref, x_t, h, c, w_ref, b_ref):
+        xh_ref[:, :LANE] = x_t
+        xh_ref[:, LANE:] = h.astype(seq_dtype)
+        gates = (
+            jnp.dot(xh_ref[...], w_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_ref[...].astype(jnp.float32)
+        )
+        i = gates[:, 0 * LANE : 1 * LANE]
+        j = gates[:, 1 * LANE : 2 * LANE]
+        f = gates[:, 2 * LANE : 3 * LANE]
+        o = gates[:, 3 * LANE : 4 * LANE]
+        if prescaled:
+            s_i = 0.5 * jnp.tanh(i) + 0.5
+            s_f = 0.5 * jnp.tanh(f + 0.5 * forget_bias) + 0.5
+            s_o = 0.5 * jnp.tanh(o) + 0.5
+        else:
+            s_i = jax.nn.sigmoid(i)
+            s_f = jax.nn.sigmoid(f + forget_bias)
+            s_o = jax.nn.sigmoid(o)
+        new_c = c * s_f + s_i * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * s_o
+        return new_h, new_c
+
+    src_fw, src_bw = None, None
+    dst_fw, dst_bw = sfw_a, sbw_a
+    for layer in range(num_layers):
+        w_fw_ref, b_fw_ref, w_bw_ref, b_bw_ref = (
+            w_refs[4 * layer : 4 * layer + 4]
+        )
+        c_fw[...] = jnp.zeros_like(c_fw)
+        h_fw[...] = jnp.zeros_like(h_fw)
+        c_bw[...] = jnp.zeros_like(c_bw)
+        h_bw[...] = jnp.zeros_like(h_bw)
+        final = layer == num_layers - 1
+        for t in range(out_steps):
+            if layer == 0:
+                x_fw = x_ref[t]
+                x_bw = x_ref[in_steps - 1 - t]
+            else:
+                x_fw = src_fw[t]
+                x_bw = src_bw[t]
+            nh_fw, nc_fw = cell(xh_fw, x_fw, h_fw[...], c_fw[...],
+                                w_fw_ref, b_fw_ref)
+            nh_bw, nc_bw = cell(xh_bw, x_bw, h_bw[...], c_bw[...],
+                                w_bw_ref, b_bw_ref)
+            h_fw[...] = nh_fw
+            c_fw[...] = nc_fw
+            h_bw[...] = nh_bw
+            c_bw[...] = nc_bw
+            if final:
+                if t == out_steps - 1:
+                    out_fw_ref[0, :, :] = nh_fw.astype(seq_dtype)
+                    out_bw_ref[0, :, :] = nh_bw.astype(seq_dtype)
+            else:
+                dst_fw[t] = nh_fw.astype(seq_dtype)
+                dst_bw[t] = nh_bw.astype(seq_dtype)
+        src_fw, src_bw = dst_fw, dst_bw
+        dst_fw, dst_bw = (sfw_b, sbw_b) if layer % 2 == 0 else (sfw_a, sbw_a)
+
+
 def _mono_wavefront_kernel(
     x_ref,
     *rest,
@@ -374,7 +463,8 @@ def _mono_wavefront_kernel(
 @functools.partial(jax.jit, static_argnames=("num_layers", "num_hidden",
                                              "timesteps", "forget_bias",
                                              "tile_b", "interpret",
-                                             "precision", "wavefront"))
+                                             "precision", "wavefront",
+                                             "merged_gemm"))
 def bilstm_fused_center_mono(
     params: Dict[str, Any],
     x: jnp.ndarray,
@@ -386,6 +476,7 @@ def bilstm_fused_center_mono(
     interpret: bool | None = None,
     precision: str = "fp32",
     wavefront: bool = False,
+    merged_gemm: bool = False,
 ) -> jnp.ndarray:
     """(B, T, F) -> (B, 2H) center features, whole stack in ONE kernel.
 
@@ -435,7 +526,12 @@ def bilstm_fused_center_mono(
             b = _pad_gate_blocks(jnp.asarray(lp["bias"]), h)[None, :]
             if seq_dtype == jnp.bfloat16:
                 wx, wh, b = _prescale_ifo(wx, wh, b)
-            w_args.extend([wx, wh, b])
+            if merged_gemm:
+                # one packed (2*LANE, GATES) operand: gates come from a
+                # single [x; h] @ [Wx; Wh] dot per cell step
+                w_args.extend([jnp.concatenate([wx, wh], axis=0), b])
+            else:
+                w_args.extend([wx, wh, b])
 
     grid = (batch_p // tile_b,)
     in_spec = pl.BlockSpec(
@@ -448,13 +544,26 @@ def bilstm_fused_center_mono(
     )
     state_scratch = pltpu.VMEM((tile_b, LANE), jnp.float32)
     seq_scratch = pltpu.VMEM((out_steps, tile_b, LANE), seq_dtype)
+    extra_scratch = []
     if wavefront:
         assert num_layers <= 3, "wavefront schedule needs num_layers <= 3"
+        assert not merged_gemm, "merged_gemm probes the sequential schedule"
         kern = _mono_wavefront_kernel
         n_state = 4 * num_layers
+        per_layer_specs = [w_spec, w_spec, b_spec]
+    elif merged_gemm:
+        kern = _mono_merged_kernel
+        n_state = 4
+        w_spec_packed = pl.BlockSpec(
+            (2 * LANE, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        per_layer_specs = [w_spec_packed, b_spec]
+        # [x; h] assembly buffers, one per lane
+        extra_scratch = [pltpu.VMEM((tile_b, 2 * LANE), seq_dtype)] * 2
     else:
         kern = _mono_kernel
         n_state = 4
+        per_layer_specs = [w_spec, w_spec, b_spec]
     out_fw, out_bw = pl.pallas_call(
         functools.partial(
             kern,
@@ -465,13 +574,15 @@ def bilstm_fused_center_mono(
             seq_dtype=seq_dtype,
         ),
         grid=grid,
-        in_specs=[in_spec] + [w_spec, w_spec, b_spec] * (2 * num_layers),
+        in_specs=[in_spec] + per_layer_specs * (2 * num_layers),
         out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((1, batch_p, LANE), seq_dtype),
             jax.ShapeDtypeStruct((1, batch_p, LANE), seq_dtype),
         ),
-        scratch_shapes=[state_scratch] * n_state + [seq_scratch] * 4,
+        scratch_shapes=(
+            [state_scratch] * n_state + extra_scratch + [seq_scratch] * 4
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * 2 * num_layers * batch_p * out_steps * LANE * GATES,
             bytes_accessed=2 * batch_p * timesteps * LANE,

@@ -373,3 +373,100 @@ def test_getfeatures_differential(tmp_path, posneg, fnum, spb):
         ri = open(rf.replace(".xy.gz", ".xy.ind"), "rb").read()
         mi = open(mf.replace(".xy.gz", ".xy.ind"), "rb").read()
         assert ri == mi, rf
+
+
+# ------------------------------------------------------------ post-hoc tools
+
+REF_TOOLS = "/root/reference/DeepMod_tools"
+
+
+def test_sum_chr_mod_differential(tmp_path):
+    """The reference's own multi-run merge tool (sum_chr_mod.py, run as a
+    subprocess — no TF anywhere in it) over synthetic per-run BEDs must
+    produce byte-identical merged files to tools.sum_chr_mod.merge_runs."""
+    import shutil
+    import subprocess
+    import sys
+
+    from deepmod_tpu.aggregate.summarize import bed_line
+    from deepmod_tpu.tools.sum_chr_mod import merge_runs
+
+    rng = np.random.RandomState(8)
+    chroms = ("chr1", "chr2")
+    pred_ref = tmp_path / "pred_ref"
+    pred_my = tmp_path / "pred_my"
+    for run in ("runA/out", "runB/sub/out"):  # 2- and 3-level nesting
+        for chrom in chroms:
+            for strand in "+-":
+                lines = []
+                for pos in sorted(rng.choice(5000, 40, replace=False)):
+                    cov = int(rng.randint(0, 1400))  # exercises the
+                    #                      1000-cap and cov==0 percent rule
+                    mod = int(rng.randint(0, cov + 1))
+                    lines.append(
+                        bed_line(chrom, strand, int(pos), "C", cov, mod)
+                    )
+                for base_dir in (pred_ref, pred_my):
+                    d = base_dir / run
+                    d.mkdir(parents=True, exist_ok=True)
+                    (d / f"mod_pos.{chrom}{strand}.C.bed").write_text(
+                        "".join(lines)
+                    )
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REF_TOOLS, "sum_chr_mod.py"),
+         str(pred_ref), "C", "merged", ",".join(chroms)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    assert merge_runs(str(pred_my), "C", "merged", ",".join(chroms)) == len(
+        chroms
+    )
+    for chrom in chroms:
+        ref_out = pred_ref / f"merged.{chrom}.C.bed"
+        my_out = pred_my / f"merged.{chrom}.C.bed"
+        assert ref_out.exists() and my_out.exists()
+        assert ref_out.read_bytes() == my_out.read_bytes(), chrom
+
+
+def test_generate_motif_pos_differential(tmp_path):
+    """The reference's motif index generator (generate_motif_pos.py as a
+    subprocess) vs tools.motif_index.generate_motif_positions: na_* and
+    motif_* files byte-identical."""
+    import subprocess
+    import sys
+
+    from deepmod_tpu.io.fasta import write_fasta
+    from deepmod_tpu.tools.motif_index import generate_motif_positions
+
+    rng = np.random.RandomState(9)
+    genome = {
+        "chr1": "".join(rng.choice(list("ACGT"), 4000)),
+        "chr2": "".join(rng.choice(list("ACGTN"), 3000, p=[0.24, 0.24, 0.24, 0.24, 0.04])),
+    }
+    ref_fa = tmp_path / "ref.fa"
+    write_fasta(str(ref_fa), genome)
+
+    ref_out = tmp_path / "ref_out"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REF_TOOLS, "generate_motif_pos.py"),
+         str(ref_fa), str(ref_out), "C", "CG", "0", "1,2"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    my_out = tmp_path / "my_out"
+    generate_motif_positions(
+        str(ref_fa), str(my_out), motif="CG", base="C", mod_offset=0,
+        chrs=["chr1", "chr2"],
+    )
+    compared = 0
+    for chrom in genome:
+        for prefix in ("na", "motif"):
+            rf = ref_out / f"{prefix}_{chrom}_C.bed"
+            mf = my_out / f"{prefix}_{chrom}_C.bed"
+            assert rf.exists() and mf.exists(), (prefix, chrom)
+            assert rf.read_bytes() == mf.read_bytes(), (prefix, chrom)
+            compared += 1
+    assert compared == 4
