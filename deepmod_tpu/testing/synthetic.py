@@ -61,6 +61,13 @@ class SynthConfig:
     # (EventTable.py:75, model_state[2] on a short tail slice) — its real
     # inputs end in stay events, so rundif fixtures must too
     tail_stays: int = 0
+    # probability of un-evented gap samples before an event (v1 readers
+    # must patch these, myDetect.py:204-231) and the gap length range
+    gap_rate: float = 0.0
+    gap_len: Tuple[int, int] = (1, 6)
+    # raw_attributes['start_time'] for v1 files: event start SECONDS are
+    # absolute (start_time + sample_index) / rate in real albacore data
+    v1_start_time: int = 0
     reads_per_file: int = 1   # >1 writes multi-read fast5 containers
 
 
@@ -137,8 +144,22 @@ def synth_signal(
         rng.normal(500 + 40 * levels[i], 6.0, lengths[i]) for i in range(n)
     ]
     lead = rng.normal(480, 10.0, 10)  # un-evented lead-in samples
-    signal = np.concatenate([lead] + signal_chunks)
-    starts = 10 + np.concatenate([[0], np.cumsum(lengths[:-1])])
+    pieces = [lead]
+    starts = np.empty(n, np.int64)
+    cursor = 10
+    for i in range(n):
+        if config.gap_rate and i > 0 and rng.rand() < config.gap_rate:
+            # un-evented samples BETWEEN events: exercises the v1
+            # reader's gap-patching (myDetect.py:204-231 inserts filler
+            # events / extends lengths when the time-derived start jumps
+            # past the previous event's end)
+            g = rng.randint(*config.gap_len)
+            pieces.append(rng.normal(495, 8.0, g))
+            cursor += g
+        starts[i] = cursor
+        pieces.append(signal_chunks[i])
+        cursor += lengths[i]
+    signal = np.concatenate(pieces)
     move = np.ones(n, np.int64)
     # real fast5 Raw/Signal datasets hold int16 DAC counts (the reference
     # normalizes those integers directly, myDetect.py:294/266-282);
@@ -199,7 +220,9 @@ def write_read_fast5(
         )
         for field in ("mean", "stdv", "model_state", "move"):
             ev_v1[field] = ev[field]
-        ev_v1["start"] = ev["start"].astype(np.float64) / rate
+        ev_v1["start"] = (
+            ev["start"].astype(np.float64) + config.v1_start_time
+        ) / rate
         ev_v1["length"] = ev["length"].astype(np.float64) / rate
         ev = ev_v1
         version = b"1.2.6"
@@ -220,7 +243,9 @@ def write_read_fast5(
         tmpl.create_dataset("Fastq", data=np.bytes_(fastq))
         tmpl.create_dataset("Events", data=ev)
         raw = fh.create_group("Raw/Reads/Read_77")
-        raw.attrs["start_time"] = 0
+        raw.attrs["start_time"] = (
+            config.v1_start_time if config.fast5_style == "v1" else 0
+        )
         raw.attrs["read_id"] = read_id.encode()
         raw.create_dataset("Signal", data=signal)
 

@@ -470,3 +470,31 @@ def test_generate_motif_pos_differential(tmp_path):
             assert rf.read_bytes() == mf.read_bytes(), (prefix, chrom)
             compared += 1
     assert compared == 4
+
+
+def test_ingestion_differential_v1_gap_patching(tmp_path):
+    """The v1 reader's time-derived gap patching (myDetect.py:204-231:
+    filler events for >2-sample jumps, length-extension otherwise) plus a
+    nonzero raw start_time, bit-identical against the reference."""
+    cfg = SynthConfig(
+        num_reads=12, seed=55, fast5_style="v1",
+        gap_rate=0.08, gap_len=(1, 8), v1_start_time=123456,
+        genome_sizes={"chrA": 20000}, read_length=(700, 1300),
+    )
+    _, reads = generate_dataset(str(tmp_path), cfg)
+    f5ref, errs = ref_oracle.ref_get_event_signals([r.path for r in reads])
+    assert not errs, errs
+    filler_reads = 0
+    for r in reads:
+        mine = read_fast5_file(r.path)
+        basecall, m_event, raw, _p, skip = f5ref[r.read_id]
+        assert basecall == mine.basecall
+        assert np.array_equal(raw, mine.raw_signals)
+        assert len(m_event) == len(mine.m_event)
+        if len(m_event) > len(r.seq):
+            filler_reads += 1
+        for f in EVENT_FIELDS:
+            assert np.array_equal(m_event[f], mine.m_event[f]), (
+                r.read_id, f
+            )
+    assert filler_reads > 0, "gap fixtures never exercised the patch path"
