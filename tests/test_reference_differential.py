@@ -498,3 +498,62 @@ def test_ingestion_differential_v1_gap_patching(tmp_path):
                 r.read_id, f
             )
     assert filler_reads > 0, "gap fixtures never exercised the patch path"
+
+
+def test_error_taxonomy_differential(tmp_path):
+    """Malformed fast5s must land in the same reference error classes
+    (get_Event_Signals fills sp_options['Error'], myDetect.py:348-386;
+    read_fast5_batch mirrors the class strings)."""
+    import h5py
+
+    from deepmod_tpu.io.fast5 import read_fast5_batch
+    from deepmod_tpu.utils import ErrorCensus
+
+    cfg = SynthConfig(
+        num_reads=4, seed=91, fast5_style="v2",
+        genome_sizes={"chrA": 15000}, read_length=(600, 900),
+    )
+    _, reads = generate_dataset(str(tmp_path), cfg)
+
+    def clone_without(src, out_name, drop):
+        dst = str(tmp_path / out_name)
+        with h5py.File(src, "r") as fin, h5py.File(dst, "w") as fout:
+            def copy(name):
+                if any(name == d or name.startswith(d + "/") for d in drop):
+                    return
+                obj = fin[name]
+                if isinstance(obj, h5py.Group):
+                    g = fout.require_group(name)
+                    for k, v in obj.attrs.items():
+                        g.attrs[k] = v
+                else:
+                    fout.create_dataset(name, data=obj[()])
+            fin.visit(copy)
+            # root + intermediate group attrs
+            for k, v in fin.attrs.items():
+                fout.attrs[k] = v
+            def copy_attrs(name, obj):
+                if name in fout and isinstance(obj, h5py.Group):
+                    for k, v in obj.attrs.items():
+                        fout[name].attrs[k] = v
+            fin.visititems(copy_attrs)
+        return dst
+
+    broken = [
+        clone_without(reads[0].path, "no_events.fast5",
+                      ["Analyses/Basecall_1D_000/BaseCalled_template/Events"]),
+        clone_without(reads[1].path, "no_fastq.fast5",
+                      ["Analyses/Basecall_1D_000/BaseCalled_template/Fastq"]),
+        clone_without(reads[2].path, "no_signal.fast5", ["Raw"]),
+        clone_without(reads[3].path, "no_channel.fast5", ["UniqueGlobalKey"]),
+    ]
+    f5ref, ref_errs = ref_oracle.ref_get_event_signals(broken)
+    assert not f5ref
+    my_errs = ErrorCensus()
+    out = read_fast5_batch(broken, errors=my_errs)
+    assert not out
+    ref_classes = {k: sorted(os.path.basename(p) for p in v)
+                   for k, v in ref_errs.items()}
+    my_classes = {k: sorted(os.path.basename(p) for p in v)
+                  for k, v in my_errs.errors.items()}
+    assert ref_classes == my_classes
