@@ -71,6 +71,7 @@ def modules() -> SimpleNamespace:
         import DeepMod_scripts.myCom as myCom
         import DeepMod_scripts.myDetect as myDetect
         import DeepMod_scripts.myGetFeatureBasedPos as myGFBP
+        import DeepMod_scripts.myMultiBiRNN as myMultiBiRNN
     finally:
         # let later tests import the real TensorFlow; the reference
         # modules keep their references to the stub via their globals
@@ -83,6 +84,7 @@ def modules() -> SimpleNamespace:
         myCom=myCom,
         myDetect=myDetect,
         myGFBP=myGFBP,
+        myMultiBiRNN=myMultiBiRNN,
         EventTable=EventTable,
         MoveTable=MoveTable,
     )

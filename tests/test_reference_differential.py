@@ -557,3 +557,56 @@ def test_error_taxonomy_differential(tmp_path):
     my_classes = {k: sorted(os.path.basename(p) for p in v)
                   for k, v in my_errs.errors.items()}
     assert ref_classes == my_classes
+
+
+def test_train_loader_differential(tmp_path):
+    """The reference's own feature-file loader (getDataFromFile_new,
+    myMultiBiRNN.py:306-361 — numpy only, no TF at call time) vs
+    train.loader.load_feature_file: windows, labels, and E-mode region
+    splits element-identical; .ind sidecar parse (getGZFilePos :366-377)
+    vs read_ind_sidecar."""
+    from deepmod_tpu.train.loader import (
+        TestSplit,
+        load_feature_file,
+        read_ind_sidecar,
+    )
+
+    md = ref_oracle.modules()
+    cfg = SynthConfig(
+        num_reads=8, seed=47, fast5_style="v2",
+        genome_sizes={"chrA": 30000}, read_length=(900, 1500),
+        mod_motif="CG", mod_offset=0, mod_level_shift=0.6,
+    )
+    genome, reads, ref_fa, _f5, sam_path, _lines = _prepare(tmp_path, cfg)
+    out = os.path.join(str(tmp_path), "feat")
+    res = getfeatures_run(GetFeaturesConfig(
+        wrk_base=os.path.join(str(tmp_path), "fast5"), ref=ref_fa,
+        out_folder=out, posneg=1, motif="CG", align_str=sam_path,
+        threads=1, save_format="xy.gz",
+    ))
+    files = sorted(glob.glob(os.path.join(out, "*", "*.xy.gz")))
+    assert files
+
+    cases = [
+        (["N", "100"], None, False),
+        (["-", 5000, 20000], TestSplit(mode="E", start=5000, end=20000), False),
+        (["+", 5000, 20000], TestSplit(mode="E", start=5000, end=20000), True),
+    ]
+    compared = 0
+    for ref_test, split, for_test in cases:
+        moptions = {"test": ref_test, "windowsize": 21}
+        for fn in files:
+            m_data, m_y, _ = md.myMultiBiRNN.getDataFromFile_new(fn, moptions)
+            x, y = load_feature_file(fn, 21, split, for_test=for_test)
+            assert len(x) == len(m_data), (ref_test, fn)
+            if len(x):
+                assert np.array_equal(np.asarray(m_data), x), (ref_test, fn)
+                assert np.array_equal(np.asarray(m_y), y), (ref_test, fn)
+                compared += 1
+    assert compared >= 3
+
+    # .ind sidecar parse
+    for fn in files:
+        ref_ind = md.myMultiBiRNN.getGZFilePos(fn)
+        mine = dict(read_ind_sidecar(fn))
+        assert {int(k): v for k, v in ref_ind.items()} == mine
