@@ -610,3 +610,78 @@ def test_train_loader_differential(tmp_path):
         ref_ind = md.myMultiBiRNN.getGZFilePos(fn)
         mine = dict(read_ind_sidecar(fn))
         assert {int(k): v for k, v in ref_ind.items()} == mine
+
+
+def test_detect_region_filter_differential(tmp_path):
+    """Region and chromosome filtering (myDetect.py:502-511, 548-558:
+    ConUnk underscore rule, pos>start / pos+len(m_event)<end strictness)
+    must keep the same read set and emit the same BEDs."""
+    cfg = SynthConfig(
+        num_reads=10, seed=37, fast5_style="v2",
+        genome_sizes={"chr_odd": 25000, "chrB": 25000},
+        read_length=(700, 1400),
+    )
+    genome, reads, ref_fa, f5mine, sam_path, sam_lines = _prepare(
+        tmp_path, cfg
+    )
+    wrk_base = os.path.join(str(tmp_path), "fast5")
+    f5ref, errs = ref_oracle.ref_get_event_signals([r.path for r in reads])
+    assert not errs
+
+    scenarios = [
+        # ConUnk False drops chr_odd (underscore in the name)
+        dict(con_unk=False, regions=((None, None, None),)),
+        # region window on chrB only
+        dict(con_unk=True, regions=(("chrB", 2000, 22000),)),
+    ]
+    for i, sc in enumerate(scenarios):
+        ref_out = os.path.join(str(tmp_path), f"ref{i}", "mod")
+        ct = os.path.join(ref_out, "0")
+        os.makedirs(ct, exist_ok=True)
+        sp_options, _sess = ref_oracle.ref_detect_batch(
+            f5ref, sam_lines, genome, ct, batchid=0,
+            wrkBase=wrk_base,
+            outFolder=os.path.join(str(tmp_path), f"ref{i}") + "/",
+            FileID="mod", fnum=7,
+            ConUnk=sc["con_unk"],
+            region=[tuple(r) for r in sc["regions"]],
+        )
+        my_out = os.path.join(str(tmp_path), f"my{i}")
+        res = detect_run(
+            DetectConfig(
+                wrk_base=wrk_base, ref=ref_fa, model_path="unused",
+                out_folder=my_out, file_id="mod", base="C", fnum=7,
+                align_str=sam_path, threads=1, use_pallas=False,
+                con_unk=sc["con_unk"], regions=sc["regions"],
+            ),
+            predictor=_RulePredictor(),
+        )
+        # same accepted read set
+        ref_keys = sorted(str(m[3]) for m in sp_options["Mod"])
+        assert res.num_reads == len(ref_keys), (i, res.num_reads, ref_keys)
+        # reference sum_handler over the reference outputs == my BEDs
+        ref_entries = sorted(
+            tuple(str(x) for x in mod) for mod in sp_options["Mod"]
+        )
+        chr_strands = sorted({(e[0], e[1]) for e in ref_entries})
+        sum_in = []
+        for chrom in sorted({c for c, _ in chr_strands}):
+            cif = os.path.join(ref_out, f"rnn.pred.ind.{chrom}")
+            with open(cif, "w") as fh:
+                fh.write(f"#base_folder_fast5 {wrk_base} \n")
+                fh.write(f"#base_folder_output {ref_out} \n")
+                for e in ref_entries:
+                    if e[0] == chrom:
+                        fh.write(" ".join(list(e) + ["\n"]))
+            for c, s in chr_strands:
+                if c == chrom:
+                    sum_in.append((cif, c, s))
+        sum_out = os.path.join(str(tmp_path), f"refsum{i}")
+        os.makedirs(sum_out, exist_ok=True)
+        beds = ref_oracle.ref_sum_handler(sum_in, sum_out, base="C")
+        produced = [b for b in beds if os.path.exists(b)]
+        assert produced or not ref_entries
+        for bed in produced:
+            mine = os.path.join(my_out, os.path.basename(bed))
+            assert os.path.exists(mine), bed
+            assert open(bed, "rb").read() == open(mine, "rb").read(), (i, bed)
