@@ -685,3 +685,115 @@ def test_detect_region_filter_differential(tmp_path):
             mine = os.path.join(my_out, os.path.basename(bed))
             assert os.path.exists(mine), bed
             assert open(bed, "rb").read() == open(mine, "rb").read(), (i, bed)
+
+
+def test_cluster_predict_tool_differential(tmp_path):
+    """The reference's hm_cluster_predict.py run end-to-end as a
+    subprocess, with its TF session stubbed to the SAME jax-cpu cluster
+    MLP forward my tool uses (weights from the bundled reference
+    checkpoint; MLP math itself is golden-pinned elsewhere to 6e-8 vs
+    real TF). This differentially validates the tool's neighbor-histogram
+    featurization, batching, and BED rewrite against
+    tools.cluster_predict — byte-identical output files."""
+    import subprocess
+    import sys
+
+    from deepmod_tpu.aggregate.summarize import bed_line
+    from deepmod_tpu.io.fasta import write_fasta
+    from deepmod_tpu.tools.cluster_predict import (
+        cluster_predict_run,
+        load_cluster_model,
+    )
+    from deepmod_tpu.tools.motif_index import generate_motif_positions
+
+    rng = np.random.RandomState(12)
+    genome = {"chr1": "".join(rng.choice(list("ACGT"), 6000))}
+    ref_fa = tmp_path / "ref.fa"
+    write_fasta(str(ref_fa), genome)
+    motif_dir = tmp_path / "motif"
+    generate_motif_positions(
+        str(ref_fa), str(motif_dir), motif="CG", base="C", chrs=["chr1"]
+    )
+
+    # synthesize a merged per-chromosome BED over the CpG sites
+    cg = []
+    with open(motif_dir / "motif_chr1_C.bed") as fh:
+        for line in fh:
+            parts = line.split()
+            cg.append((parts[2], int(parts[1])))
+    lines = []
+    for strand, pos in sorted(cg, key=lambda t: (t[1], t[0])):
+        if rng.rand() < 0.3:
+            continue  # not every CpG is covered
+        cov = int(rng.randint(1, 40))
+        mod = int(rng.randint(0, cov + 1))
+        lines.append(bed_line("chr1", strand, pos, "C", cov, mod))
+    pred_prefix = str(tmp_path / "runA")
+    with open(f"{pred_prefix}.chr1.C.bed", "w") as fh:
+        fh.write("".join(lines))
+    pred_prefix_my = str(tmp_path / "runB")
+    with open(f"{pred_prefix_my}.chr1.C.bed", "w") as fh:
+        fh.write("".join(lines))
+
+    # weights npz so the subprocess needs no TensorFlow at all
+    params = load_cluster_model()  # bundled reference checkpoint
+    npz = tmp_path / "cluster.npz"
+    np.savez(npz, **{k: np.asarray(v) for k, v in params.items()})
+
+    bootstrap = tmp_path / "bootstrap.py"
+    bootstrap.write_text(
+        '''import sys, types, locale
+locale.setlocale = lambda *a, **k: ""
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from deepmod_tpu.models import cluster_forward
+
+npz = sys.argv.pop(1)
+script = sys.argv.pop(1)
+data = np.load(npz)
+params = {k: data[k] for k in data.files}
+
+tf = types.ModuleType("tensorflow")
+class _Saver:
+    def restore(self, sess, ck):
+        return "restored"
+tf.train = types.SimpleNamespace(
+    import_meta_graph=lambda p: _Saver(),
+    latest_checkpoint=lambda d: d,
+)
+class _Graph:
+    def get_tensor_by_name(self, name):
+        return name
+tf.get_default_graph = lambda: _Graph()
+class _Session:
+    def __enter__(self):
+        return self
+    def __exit__(self, *a):
+        return False
+    def run(self, fetches, feed_dict=None):
+        x = np.asarray(feed_dict["X:0"], np.float32)
+        return [np.asarray(cluster_forward(params, jnp.asarray(x)))]
+tf.Session = _Session
+sys.modules["tensorflow"] = tf
+exec(compile(open(script).read(), script, "exec"), {"__name__": "__main__"})
+'''
+    )
+    proc = subprocess.run(
+        [sys.executable, str(bootstrap), str(npz),
+         os.path.join(REF_TOOLS, "hm_cluster_predict.py"),
+         pred_prefix, str(motif_dir)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    ref_out = f"{pred_prefix}_clusterCpG.chr1.C.bed"
+    assert os.path.exists(ref_out)
+
+    total = cluster_predict_run(
+        pred_prefix_my, str(motif_dir), model_path=str(npz), chrs=["chr1"]
+    )
+    assert total > 0
+    my_out = f"{pred_prefix_my}_clusterCpG.chr1.C.bed"
+    assert open(ref_out, "rb").read() == open(my_out, "rb").read()
