@@ -271,7 +271,12 @@ def train_run(
                 )
             step_count += 1
             if step_count % config.log_every == 0:
-                m = batch_metrics(params, model_config, *group_batches[-1])
+                # evaluate across ALL groups' current minibatches: a
+                # single group is often single-class (mod vs control
+                # folders), which pins AUC/precision/recall to 0
+                mx = np.concatenate([b[0] for b in group_batches if len(b[1])])
+                my_ = np.concatenate([b[1] for b in group_batches if len(b[1])])
+                m = batch_metrics(params, model_config, mx, my_)
                 m["epoch"] = epoch
                 m["step"] = step_count
                 m["io_frac"] = io_time / max(time.time() - start, 1e-9)

@@ -797,3 +797,100 @@ exec(compile(open(script).read(), script, "exec"), {"__name__": "__main__"})
     assert total > 0
     my_out = f"{pred_prefix_my}_clusterCpG.chr1.C.bed"
     assert open(ref_out, "rb").read() == open(my_out, "rb").read()
+
+
+def test_evaluator_differential(tmp_path):
+    """The reference's E. coli evaluator (cal_EcoliDetPerf.py, run with
+    rpy2/pkg_resources stubbed — its plots go through matplotlib; R is
+    imported but never used) must compute the same site-level AUC/AP as
+    tools.evaluate.ecoli_performance on the same mod/control BEDs."""
+    import re
+    import subprocess
+    import sys
+
+    from deepmod_tpu.aggregate.summarize import bed_line
+    from deepmod_tpu.features.labels import scan_motif
+    from deepmod_tpu.io.fasta import write_fasta
+    from deepmod_tpu.tools.evaluate import ecoli_performance
+
+    rng = np.random.RandomState(21)
+    genome = {"chrE": "".join(rng.choice(list("ACGT"), 8000))}
+    ref_fa = tmp_path / "ref.fa"
+    write_fasta(str(ref_fa), genome)
+    motif_sites, _ = scan_motif(genome, "CG", 0)
+
+    def synth_bed_folder(folder, methylated):
+        folder.mkdir(parents=True, exist_ok=True)
+        codes = np.frombuffer(genome["chrE"].encode(), np.uint8)
+        for strand in "+-":
+            lines = []
+            target = ord("C") if strand == "+" else ord("G")
+            for pos in np.flatnonzero(codes == target):
+                if rng.rand() < 0.4:
+                    continue
+                cov = int(rng.randint(1, 25))
+                at_motif = (strand, int(pos)) in motif_sites["chrE"]
+                p_mod = 0.75 if (methylated and at_motif) else 0.06
+                mod = int(rng.binomial(cov, p_mod))
+                lines.append(
+                    bed_line("chrE", strand, int(pos), "C", cov, mod)
+                )
+            (folder / f"mod_pos.chrE{strand}.C.bed").write_text("".join(lines))
+
+    mod_dir = tmp_path / "modrun"
+    ctl_dir = tmp_path / "ctlrun"
+    synth_bed_folder(mod_dir, True)
+    synth_bed_folder(ctl_dir, False)
+
+    bootstrap = tmp_path / "boot_eval.py"
+    bootstrap.write_text(
+        '''import sys, types
+import numpy as np
+if not hasattr(np, "uint"):
+    np.uint = np.uint64
+for name in ("rpy2", "rpy2.robjects", "rpy2.robjects.packages"):
+    m = types.ModuleType(name)
+    sys.modules[name] = m
+sys.modules["rpy2.robjects.packages"].importr = lambda *a, **k: None
+pk = types.ModuleType("pkg_resources")
+pk.resource_string = lambda *a, **k: b""
+sys.modules["pkg_resources"] = pk
+script = sys.argv.pop(1)
+exec(compile(open(script).read(), script, "exec"), {"__name__": "__main__"})
+'''
+    )
+    fig_dir = tmp_path / "figs"
+    fig_dir.mkdir()
+    proc = subprocess.run(
+        [sys.executable, str(bootstrap),
+         os.path.join(REF_TOOLS, "cal_EcoliDetPerf.py"),
+         str(mod_dir), str(ref_fa), "Cg", "0", "", "-1", "-1",
+         str(fig_dir), str(ctl_dir)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+
+    # printed metric lines: '\t\t <fig> <covt> <auc>' (roc, %.7f) and
+    # '\t\t <fig> <covt> ap=<ap>' (pr, %.5f); all_mp == every site class
+    ref_auc = {}
+    ref_ap = {}
+    for line in proc.stdout.splitlines():
+        m = re.match(r"\s+(\S+) (\d+) ap=([0-9.]+)", line)
+        if m and "all_mp" in m.group(1):
+            ref_ap[int(m.group(2))] = float(m.group(3))
+        m = re.match(r"\s+(\S+) (\d+) ([0-9.]+)$", line)
+        if m and "all_mp" in m.group(1):
+            ref_auc[int(m.group(2))] = float(m.group(3))
+    assert set(ref_auc) == {1, 5} and set(ref_ap) == {1, 5}, proc.stdout[-2000:]
+
+    mine = ecoli_performance(
+        [str(mod_dir)], [str(ctl_dir)], str(ref_fa), motif="CG",
+        out_prefix=str(tmp_path / "perf"), make_plots=False,
+    )
+    for covt in (1, 5):
+        assert abs(mine[f"auc_cov{covt}"] - ref_auc[covt]) < 5e-7, (
+            covt, mine[f"auc_cov{covt}"], ref_auc[covt]
+        )
+        assert abs(mine[f"ap_cov{covt}"] - ref_ap[covt]) < 5e-5, (
+            covt, mine[f"ap_cov{covt}"], ref_ap[covt]
+        )
