@@ -60,21 +60,38 @@ def merge_counts_across_processes(
             n_max = int(all_n.max())
             if n_max == 0:
                 continue
-            block = np.zeros((n_max, 3), np.int64)
-            block[: len(pos), 0] = pos
-            block[: len(pos), 1] = cov
-            block[: len(pos), 2] = mod
-            gathered = np.asarray(multihost_utils.process_allgather(block))
+            # chunk the gather: human-scale chromosomes can carry tens of
+            # millions of seen positions per process — an unchunked
+            # (nproc, n_max, 3) int64 block would be GBs of host memory.
+            # The chunk count derives from the gathered n_max, so every
+            # process executes the same collective sequence. The env
+            # override exists for tests to force multi-chunk gathers.
+            import os
+
+            CHUNK_ROWS = int(
+                os.environ.get("DMT_MERGE_CHUNK_ROWS", 1 << 22)
+            )
             out = PositionCounts.zeros(int(chrom_lengths[chrom]))
-            for p in range(gathered.shape[0]):
-                n_p = int(all_n[p])
-                if n_p == 0:
-                    continue
-                out.add_coo(
-                    gathered[p, :n_p, 0],
-                    gathered[p, :n_p, 1],
-                    gathered[p, :n_p, 2],
+            for lo in range(0, n_max, CHUNK_ROWS):
+                hi = min(lo + CHUNK_ROWS, n_max)
+                block = np.zeros((hi - lo, 3), np.int64)
+                take = max(0, min(len(pos), hi) - lo)
+                if take:
+                    block[:take, 0] = pos[lo : lo + take]
+                    block[:take, 1] = cov[lo : lo + take]
+                    block[:take, 2] = mod[lo : lo + take]
+                gathered = np.asarray(
+                    multihost_utils.process_allgather(block)
                 )
+                for p in range(gathered.shape[0]):
+                    n_p = max(0, min(int(all_n[p]), hi) - lo)
+                    if n_p == 0:
+                        continue
+                    out.add_coo(
+                        gathered[p, :n_p, 0],
+                        gathered[p, :n_p, 1],
+                        gathered[p, :n_p, 2],
+                    )
             merged[key] = out
     return merged
 
@@ -104,10 +121,15 @@ def merge_index_parts(out_base: str, pre_base_str: str) -> None:
                 elif line.strip():
                     by_chr[chrom].append(line)
             headers.setdefault(chrom, head)
+    def row_key(line: str):
+        # the same ordering _write_index_files uses (numeric position)
+        f = line.split()
+        return (f[0], f[1], int(f[2]), f[3], f[4], f[5]) if len(f) >= 6 else (line,)
+
     for chrom, lines in by_chr.items():
         path = os.path.join(out_base, f"{pre_base_str}.{chrom}")
         with open(path, "w") as fh:
             fh.writelines(headers.get(chrom, []))
-            fh.writelines(sorted(lines))
+            fh.writelines(sorted(lines, key=row_key))
     for part in parts:
         os.remove(part)

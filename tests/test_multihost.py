@@ -28,7 +28,7 @@ def _free_port() -> int:
     return port
 
 
-def _spawn_workers(tmp_path, nproc: int, extra_args=()):
+def _spawn_workers(tmp_path, nproc: int, extra_args=(), extra_env=None):
     """Launch the distributed worker cluster; returns per-process JSON."""
     port = _free_port()
     outs = [str(tmp_path / f"out_{p}.json") for p in range(nproc)]
@@ -37,6 +37,8 @@ def _spawn_workers(tmp_path, nproc: int, extra_args=()):
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("PYTEST_CURRENT_TEST", None)
+    if extra_env:
+        env.update(extra_env)
     procs = [
         subprocess.Popen(
             [
@@ -109,7 +111,10 @@ def test_two_process_detect_engine_merged_bed(tmp_path):
 
     multi_out = str(tmp_path / "multi")
     results = _spawn_workers(
-        tmp_path, nproc=2, extra_args=("detect", str(data_dir), multi_out)
+        tmp_path, nproc=2, extra_args=("detect", str(data_dir), multi_out),
+        # tiny gather chunk: the cross-process COO merge must survive
+        # multi-chunk allgathers (the human-scale path)
+        extra_env={"DMT_MERGE_CHUNK_ROWS": "64"},
     )
     assert sum(r["num_reads"] for r in results) == res.num_reads
     # both processes saw work (files stripe process_index::process_count)
