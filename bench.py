@@ -149,6 +149,11 @@ def main() -> None:
 
     useful_fpw, padded_fpw = model_flops_per_window()
     peak = _peak_for(jax.devices()[0]) if backend == "tpu" else None
+    # the FLOP model (readout-cone steps, LANE/GATES padding) describes
+    # the Pallas kernel; if an XLA variant won (e.g. both Pallas modes
+    # failed to compile), utilization numbers would be fabricated — omit.
+    if not best_tag.startswith("pallas"):
+        peak = None
     mfu = round(best * useful_fpw / peak, 4) if peak else None
     mxu_util = round(best * padded_fpw / peak, 4) if peak else None
 

@@ -536,14 +536,18 @@ def apply_batch_outputs(
 
 
 def _write_index_files(
-    index_entries: List[List[str]], config: DetectConfig, suffix: str = ""
+    index_entries: List[List[str]], config: DetectConfig, part_dir: str = ""
 ) -> None:
     """Merged per-chromosome index files (myDetect.py:1195-1221).
 
-    ``suffix`` ('.p<pid>' under a multi-process runtime) keeps processes
-    on a shared filesystem from clobbering each other; process 0 then
-    combines parts (parallel.cross_process.merge_index_parts)."""
+    ``part_dir`` ('p<pid>' under a multi-process runtime) writes each
+    process's part INSIDE its private output tree so processes on a
+    shared filesystem never clobber each other and part names can never
+    collide with merged outputs; process 0 then combines parts
+    (parallel.cross_process.merge_index_parts)."""
     out_base = os.path.join(config.out_folder, config.file_id)
+    if part_dir:
+        os.makedirs(os.path.join(out_base, part_dir), exist_ok=True)
     by_chr: Dict[str, List[List[str]]] = defaultdict(list)
     for entry in index_entries:
         by_chr[entry[0]].append(entry)
@@ -551,7 +555,7 @@ def _write_index_files(
         entries = sorted(
             entries, key=lambda e: (e[0], e[1], int(e[2]), e[3], e[4], e[5])
         )
-        path = os.path.join(out_base, f"{PRE_BASE_STR}.{chrom}{suffix}")
+        path = os.path.join(out_base, part_dir, f"{PRE_BASE_STR}.{chrom}")
         with open(path, "w") as fh:
             fh.write(f"#base_folder_fast5 {config.wrk_base} \n")
             fh.write(
@@ -780,7 +784,7 @@ def _detect_run_inner(
 
     if config.write_per_read:
         _write_index_files(
-            all_index, config, suffix=f".{proc_dir}" if multi_proc else ""
+            all_index, config, part_dir=proc_dir if multi_proc else ""
         )
 
     if multi_proc:
@@ -806,6 +810,7 @@ def _detect_run_inner(
                 merge_index_parts(
                     os.path.join(config.out_folder, config.file_id),
                     PRE_BASE_STR,
+                    jax.process_count(),
                 )
 
     bed_files: List[str] = []

@@ -160,3 +160,34 @@ def test_sharded_predict_pallas(model):
     want = np.asarray(bilstm_predict(params, x, config))
     fn = make_sharded_predict(config, make_mesh(8), use_pallas=True)
     np.testing.assert_array_equal(np.asarray(fn(params, x)), want)
+
+
+def test_cross_process_i64_split_roundtrip():
+    """Gathered COO blocks ride int32 halves: jax.device_put TRUNCATES
+    int64 to int32 under the default x64-disabled config, which would
+    silently corrupt positions >= 2^31 on >2.1 Gbp contigs."""
+    from deepmod_tpu.parallel.cross_process import _join_i64, _split_i64
+
+    vals = np.asarray(
+        [0, 1, 2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**40 + 12345, 2**62],
+        np.int64,
+    )
+    hi, lo = _split_i64(vals)
+    assert hi.dtype == np.int32 and lo.dtype == np.int32
+    # the halves survive a device round trip un-truncated
+    hi_rt = np.asarray(jax.device_put(hi))
+    lo_rt = np.asarray(jax.device_put(lo))
+    np.testing.assert_array_equal(_join_i64(hi_rt, lo_rt), vals)
+
+
+def test_cross_process_chunk_shape_buckets():
+    from deepmod_tpu.parallel.cross_process import _chunk_shape
+
+    chunk = 1 << 22
+    assert _chunk_shape(1, chunk) == 1
+    assert _chunk_shape(3, chunk) == 4
+    assert _chunk_shape(chunk, chunk) == chunk
+    # never exceeds the agreed chunk size (collective shape contract)
+    assert _chunk_shape(chunk - 1, chunk) == chunk
+    for rows in (7, 100, 4097):
+        assert _chunk_shape(rows, chunk) >= rows
