@@ -894,3 +894,87 @@ exec(compile(open(script).read(), script, "exec"), {"__name__": "__main__"})
         assert abs(mine[f"ap_cov{covt}"] - ref_ap[covt]) < 5e-5, (
             covt, mine[f"ap_cov{covt}"], ref_ap[covt]
         )
+
+
+# ---------------------------------------------------------------- CLI parity
+
+
+def _parser_surface(parser):
+    """{option_string: (default, nargs0)} for every optional action."""
+    out = {}
+    for action in parser._actions:
+        for opt in action.option_strings:
+            if opt in ("-h", "--help"):
+                continue
+            out[opt] = (action.default, action.nargs == 0 or isinstance(
+                action.const, bool))
+    return out
+
+
+def _ref_cli_parser():
+    """Exec the reference CLI definition (bin/DeepMod.py builds its
+    argparse tree at module scope and, with len(sys.argv) < 2, only
+    prints help — no parse) and return its root parser."""
+    import contextlib
+    import io
+    import sys
+
+    ref_oracle.modules()  # sys.path + TF/np/h5py shims
+    src = open(os.path.join(ref_oracle.REF_BIN, "..", "bin", "DeepMod.py")).read()
+    ns = {"__name__": "ref_deepmod_cli"}
+    argv = sys.argv
+    sys.argv = ["DeepMod.py"]
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            exec(compile(src, "DeepMod.py", "exec"), ns)
+    finally:
+        sys.argv = argv
+    return ns["parser"]
+
+
+def test_cli_flag_parity_differential():
+    """Every reference flag exists on our same-named subcommand with the
+    SAME default (the reference's help strings lie in places — e.g.
+    --files_per_thread says 500 but defaults to 1000 — so the executable
+    parser, not the docs, is the contract)."""
+    import argparse
+
+    from deepmod_tpu.cli import build_parser
+
+    ref_root = _ref_cli_parser()
+    ours_root = build_parser()
+
+    def subparsers(root):
+        for action in root._actions:
+            if isinstance(action, argparse._SubParsersAction):
+                return action.choices
+        raise AssertionError("no subparsers")
+
+    ref_subs = subparsers(ref_root)
+    our_subs = subparsers(ours_root)
+    assert set(ref_subs) <= set(our_subs), set(ref_subs) - set(our_subs)
+
+    # documented default deviations (docs/Design.md table): --alignStr
+    # defaults to 'auto' (minimap2 when installed — the reference's
+    # default — else the built-in aligner, which the reference can't do)
+    known = {"--alignStr": ("auto", "minimap2")}
+
+    mismatches = []
+    for cmd, ref_sub in ref_subs.items():
+        ref_surface = _parser_surface(ref_sub)
+        our_surface = _parser_surface(our_subs[cmd])
+        for opt, (ref_default, ref_flag0) in ref_surface.items():
+            if known.get(opt) == (our_surface.get(opt, (None,))[0], ref_default):
+                continue
+            if opt not in our_surface:
+                mismatches.append(f"{cmd} {opt}: missing")
+                continue
+            our_default, our_flag0 = our_surface[opt]
+            if ref_default != our_default:
+                mismatches.append(
+                    f"{cmd} {opt}: default {our_default!r} != reference "
+                    f"{ref_default!r}"
+                )
+            if ref_flag0 != our_flag0:
+                mismatches.append(f"{cmd} {opt}: arity differs")
+    assert not mismatches, "\n".join(mismatches)
