@@ -57,6 +57,20 @@ def _common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--basecall_2strand", default="BaseCalled_template")
 
 
+def _parse_host_shard(spec):
+    """'i:n' -> (i, n) stripe of the fast5 list, or None."""
+    if not spec:
+        return None
+    try:
+        i_s, n_s = spec.split(":")
+        i, n = int(i_s), int(n_s)
+    except ValueError:
+        raise SystemExit(f"--hostShard {spec!r}: expected i:n (e.g. 0:4)")
+    if not 0 <= i < n:
+        raise SystemExit(f"--hostShard {spec!r}: need 0 <= i < n")
+    return (i, n)
+
+
 def _parse_regions(spec):
     """'chr:1:100000;chr2:10000' -> [(chr, 1, 100000), ...] (DeepMod.py:152-160)."""
     if not spec:
@@ -106,6 +120,7 @@ def cmd_detect(args) -> int:
         device_aggregation=bool(args.device_aggregation),
         target_only=bool(args.targetOnly),
         strict_ref_clips=bool(args.strictRefClips),
+        host_shard=_parse_host_shard(args.hostShard),
     )
     result = detect_run(config)
     print(
@@ -473,6 +488,14 @@ def build_parser() -> argparse.ArgumentParser:
         "reference; 0: keep those reads with self-consistent windows "
         "(more coverage; the accounting the reference's own getfeatures "
         "variant uses)",
+    )
+    p.add_argument(
+        "--hostShard", default=None, metavar="I:N",
+        help="process stripe i:n of the fast5 list for the MANUAL "
+        "multi-run workflow (independent hosts, no jax.distributed; "
+        "combine with disjoint --FileIDs and 'merge'). Under an "
+        "initialized jax.distributed runtime sharding + the collective "
+        "BED merge are automatic and this flag is unnecessary",
     )
     p.set_defaults(func=cmd_detect)
 

@@ -395,6 +395,108 @@ def _mono_merged_kernel(
         dst_fw, dst_bw = (sfw_b, sbw_b) if layer % 2 == 0 else (sfw_a, sbw_a)
 
 
+def _mono_pregemm_kernel(
+    x_ref,
+    *rest,
+    num_layers: int,
+    in_steps: int,
+    out_steps: int,
+    forget_bias: float,
+    seq_dtype=jnp.float32,
+    gate_dtype=jnp.float32,
+):
+    """Mono kernel with PRE-COMPUTED input projections (cuDNN-style).
+
+    Per layer/lane ONE (out_steps*tile_b, LANE) @ (LANE, GATES) GEMM
+    projects every timestep's input into a VMEM gate buffer; the serial
+    recurrence then issues a single (tile_b, LANE) @ (LANE, GATES) h-dot
+    per step. Same FLOPs, half the per-step MXU dispatches, and the
+    x-projection runs at large-GEMM efficiency — the classic fused-LSTM
+    schedule. Cost: the (out_steps, tile_b, GATES) gate buffers add VMEM
+    traffic (one store + one load of 4H per row-step vs one LANE read).
+    Probe: scripts/probe_pregemm.py.
+
+    rest = 6*num_layers weight refs, 2 output refs, then scratch:
+    c_fw, h_fw, c_bw, h_bw, gx_fw, gx_bw, 4 sequence ping-pong buffers.
+    """
+    w_refs = rest[: 6 * num_layers]
+    out_fw_ref, out_bw_ref = rest[6 * num_layers : 6 * num_layers + 2]
+    (c_fw, h_fw, c_bw, h_bw, gx_fw, gx_bw,
+     sfw_a, sbw_a, sfw_b, sbw_b) = rest[6 * num_layers + 2 :]
+
+    prescaled = seq_dtype == jnp.bfloat16
+    tile_b = c_fw.shape[0]
+
+    def project(xs, wx_ref, gx):
+        """(S, tile_b, LANE) @ (LANE, GATES) as one collapsed GEMM."""
+        flat = xs.reshape(out_steps * tile_b, LANE)
+        gx[...] = jnp.dot(
+            flat, wx_ref[...], preferred_element_type=jnp.float32
+        ).reshape(out_steps, tile_b, GATES).astype(gate_dtype)
+
+    def cell(gx_t, h, c, wh_ref, b_ref):
+        gates = (
+            gx_t.astype(jnp.float32)
+            + jnp.dot(h.astype(seq_dtype), wh_ref[...],
+                      preferred_element_type=jnp.float32)
+            + b_ref[...].astype(jnp.float32)
+        )
+        i = gates[:, 0 * LANE : 1 * LANE]
+        j = gates[:, 1 * LANE : 2 * LANE]
+        f = gates[:, 2 * LANE : 3 * LANE]
+        o = gates[:, 3 * LANE : 4 * LANE]
+        if prescaled:
+            s_i = 0.5 * jnp.tanh(i) + 0.5
+            s_f = 0.5 * jnp.tanh(f + 0.5 * forget_bias) + 0.5
+            s_o = 0.5 * jnp.tanh(o) + 0.5
+        else:
+            s_i = jax.nn.sigmoid(i)
+            s_f = jax.nn.sigmoid(f + forget_bias)
+            s_o = jax.nn.sigmoid(o)
+        new_c = c * s_f + s_i * jnp.tanh(j)
+        new_h = jnp.tanh(new_c) * s_o
+        return new_h, new_c
+
+    src_fw, src_bw = None, None
+    dst_fw, dst_bw = sfw_a, sbw_a
+    for layer in range(num_layers):
+        wx_fw_ref, wh_fw_ref, b_fw_ref, wx_bw_ref, wh_bw_ref, b_bw_ref = (
+            w_refs[6 * layer : 6 * layer + 6]
+        )
+        if layer == 0:
+            # bw lane stays in natural row order; the recurrence reads it
+            # reversed (row k holds x_ref[in_steps - out_steps + k])
+            project(x_ref[0:out_steps], wx_fw_ref, gx_fw)
+            project(x_ref[in_steps - out_steps : in_steps], wx_bw_ref, gx_bw)
+        else:
+            project(src_fw[...], wx_fw_ref, gx_fw)
+            project(src_bw[...], wx_bw_ref, gx_bw)
+        c_fw[...] = jnp.zeros_like(c_fw)
+        h_fw[...] = jnp.zeros_like(h_fw)
+        c_bw[...] = jnp.zeros_like(c_bw)
+        h_bw[...] = jnp.zeros_like(h_bw)
+        final = layer == num_layers - 1
+        for t in range(out_steps):
+            bw_t = out_steps - 1 - t if layer == 0 else t
+            nh_fw, nc_fw = cell(gx_fw[t], h_fw[...], c_fw[...],
+                                wh_fw_ref, b_fw_ref)
+            nh_bw, nc_bw = cell(gx_bw[bw_t], h_bw[...], c_bw[...],
+                                wh_bw_ref, b_bw_ref)
+            h_fw[...] = nh_fw
+            c_fw[...] = nc_fw
+            h_bw[...] = nh_bw
+            c_bw[...] = nc_bw
+            if final:
+                if t == out_steps - 1:
+                    out_fw_ref[0, :, :] = nh_fw.astype(seq_dtype)
+                    out_bw_ref[0, :, :] = nh_bw.astype(seq_dtype)
+            else:
+                dst_fw[t] = nh_fw.astype(seq_dtype)
+                dst_bw[t] = nh_bw.astype(seq_dtype)
+        src_fw, src_bw = dst_fw, dst_bw
+        dst_fw, dst_bw = (sfw_b, sbw_b) if layer % 2 == 0 else (sfw_a, sbw_a)
+
+
 def _mono_wavefront_kernel(
     x_ref,
     *rest,
@@ -464,7 +566,8 @@ def _mono_wavefront_kernel(
                                              "timesteps", "forget_bias",
                                              "tile_b", "interpret",
                                              "precision", "wavefront",
-                                             "merged_gemm"))
+                                             "merged_gemm", "pregemm",
+                                             "gate_store"))
 def bilstm_fused_center_mono(
     params: Dict[str, Any],
     x: jnp.ndarray,
@@ -477,6 +580,8 @@ def bilstm_fused_center_mono(
     precision: str = "fp32",
     wavefront: bool = False,
     merged_gemm: bool = False,
+    pregemm: bool = False,
+    gate_store: str = "fp32",
 ) -> jnp.ndarray:
     """(B, T, F) -> (B, 2H) center features, whole stack in ONE kernel.
 
@@ -560,6 +665,16 @@ def bilstm_fused_center_mono(
         per_layer_specs = [w_spec_packed, b_spec]
         # [x; h] assembly buffers, one per lane
         extra_scratch = [pltpu.VMEM((tile_b, 2 * LANE), seq_dtype)] * 2
+    elif pregemm:
+        assert not wavefront
+        gate_dtype = jnp.bfloat16 if gate_store == "bf16" else jnp.float32
+        kern = functools.partial(_mono_pregemm_kernel, gate_dtype=gate_dtype)
+        n_state = 4
+        per_layer_specs = [w_spec, w_spec, b_spec]
+        # per-lane precomputed input-projection gate buffers
+        extra_scratch = [
+            pltpu.VMEM((out_steps, tile_b, GATES), gate_dtype)
+        ] * 2
     else:
         kern = _mono_kernel
         n_state = 4

@@ -288,3 +288,44 @@ def test_fused_pallas_v2_odd_even_depths(timesteps, num_layers):
     )
     want = np.asarray(bilstm_center_features(params, x, config))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_mono_kernel_pregemm_variant(small_setup):
+    """Precomputed-input-projection schedule (scripts/probe_pregemm.py):
+    bf16 with fp32 gate buffers is bit-identical to the two-dot mono
+    kernel (same fp32 accumulation, same association); fp32 and the
+    bf16-gate-store variant agree to ulp-level tolerance (the collapsed
+    big GEMM may sum K in a different blocked order off-MXU)."""
+    config, params, x = small_setup
+    from deepmod_tpu.ops.bilstm_fused import bilstm_fused_center_mono
+
+    base16 = np.asarray(
+        bilstm_fused_center_mono(
+            params, jnp.asarray(x), tile_b=8, interpret=True, precision="bf16"
+        )
+    )
+    pre16 = np.asarray(
+        bilstm_fused_center_mono(
+            params, jnp.asarray(x), tile_b=8, interpret=True,
+            precision="bf16", pregemm=True,
+        )
+    )
+    np.testing.assert_array_equal(pre16, base16)
+
+    base32 = np.asarray(
+        bilstm_fused_center_mono(params, jnp.asarray(x), tile_b=8, interpret=True)
+    )
+    pre32 = np.asarray(
+        bilstm_fused_center_mono(
+            params, jnp.asarray(x), tile_b=8, interpret=True, pregemm=True
+        )
+    )
+    np.testing.assert_allclose(pre32, base32, rtol=1e-6, atol=1e-6)
+
+    pre16b = np.asarray(
+        bilstm_fused_center_mono(
+            params, jnp.asarray(x), tile_b=8, interpret=True,
+            precision="bf16", pregemm=True, gate_store="bf16",
+        )
+    )
+    np.testing.assert_allclose(pre16b, base16, rtol=0.02, atol=0.002)
