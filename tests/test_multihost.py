@@ -77,11 +77,13 @@ def test_two_process_distributed_cluster(tmp_path):
     assert results[0]["checksum"] == results[1]["checksum"]
 
 
-def test_two_process_detect_engine_merged_bed(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_multi_process_detect_engine_merged_bed(tmp_path, nproc):
     """ENGINE-level multi-process coverage (VERDICT round 1, Missing #2/#5):
-    a sharded detect_run across 2 real jax.distributed processes must emit
+    a sharded detect_run across real jax.distributed processes must emit
     ONE merged BED set from process 0, byte-equal to the single-process
-    run — collectives replace the reference's filesystem merge."""
+    run — collectives replace the reference's filesystem merge. nproc=3
+    exercises uneven file striping and a 3-part index merge."""
     import glob
 
     from deepmod_tpu.engine.detect import DetectConfig, detect_run
@@ -111,18 +113,18 @@ def test_two_process_detect_engine_merged_bed(tmp_path):
 
     multi_out = str(tmp_path / "multi")
     results = _spawn_workers(
-        tmp_path, nproc=2, extra_args=("detect", str(data_dir), multi_out),
+        tmp_path, nproc=nproc, extra_args=("detect", str(data_dir), multi_out),
         # tiny gather chunk: the cross-process COO merge must survive
         # multi-chunk allgathers (the human-scale path)
         extra_env={"DMT_MERGE_CHUNK_ROWS": "64"},
     )
     assert sum(r["num_reads"] for r in results) == res.num_reads
-    # both processes saw work (files stripe process_index::process_count)
+    # every process saw work (files stripe process_index::process_count)
     assert all(r["num_reads"] > 0 for r in results)
     lead = [r for r in results if r["pid"] == 0][0]
-    follower = [r for r in results if r["pid"] == 1][0]
     assert lead["beds"], "process 0 wrote no BEDs"
-    assert follower["beds"] == [], "only process 0 may emit BEDs"
+    for follower in (r for r in results if r["pid"] != 0):
+        assert follower["beds"] == [], "only process 0 may emit BEDs"
 
     solo_beds = sorted(glob.glob(os.path.join(solo_out, "mod_pos.*.bed")))
     assert solo_beds
