@@ -149,3 +149,21 @@ def test_multi_process_detect_engine_merged_bed(tmp_path, nproc):
             tuple(l.split()[:3]) for l in open(p) if not l.startswith("#")
         )
         assert rows(solo_idx) == rows(multi_idx)
+
+    # the --predDet 0 rebuild invariant must hold on the MULTI-process
+    # output tree too: merged index entries point into p<pid>/ subtrees
+    rebuild_out = str(tmp_path / "rebuild")
+    res2 = detect_run(
+        DetectConfig(
+            wrk_base=str(data_dir / "fast5"), ref=str(data_dir / "ref.fa"),
+            model_path="unused", out_folder=rebuild_out, file_id="mod",
+            base="C", pred_det=False,
+            pred_path=os.path.join(multi_out, "mod"),
+        )
+    )
+    assert sorted(os.path.basename(b) for b in res2.bed_files) == sorted(
+        os.path.basename(b) for b in solo_beds
+    )
+    for sb in solo_beds:
+        rb = os.path.join(rebuild_out, os.path.basename(sb))
+        assert open(sb, "rb").read() == open(rb, "rb").read(), sb
