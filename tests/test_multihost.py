@@ -167,3 +167,50 @@ def test_multi_process_detect_engine_merged_bed(tmp_path, nproc):
     for sb in solo_beds:
         rb = os.path.join(rebuild_out, os.path.basename(sb))
         assert open(sb, "rb").read() == open(rb, "rb").read(), sb
+
+
+def test_starved_process_still_merges(tmp_path):
+    """More processes than fast5 files: the starved process holds zero
+    counts but must still execute the same end-of-run collective
+    sequence (deterministic key grid) — no deadlock, and process 0's
+    BEDs byte-equal the single-process run."""
+    import glob
+
+    from deepmod_tpu.engine.detect import DetectConfig, detect_run
+    from deepmod_tpu.testing.multihost_worker import _RulePredictor
+    from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
+
+    data_dir = tmp_path / "data"
+    cfg = SynthConfig(
+        num_reads=2, seed=71, fast5_style="v2",
+        genome_sizes={"chrA": 9000}, read_length=(600, 900),
+    )
+    generate_dataset(str(data_dir), cfg)
+    n_files = len(
+        glob.glob(str(data_dir / "fast5" / "**" / "*.fast5"), recursive=True)
+    )
+    assert n_files == 2
+
+    solo_out = str(tmp_path / "solo")
+    res = detect_run(
+        DetectConfig(
+            wrk_base=str(data_dir / "fast5"), ref=str(data_dir / "ref.fa"),
+            model_path="unused", out_folder=solo_out, file_id="mod",
+            base="C", align_str="builtin", threads=1, use_pallas=False,
+        ),
+        predictor=_RulePredictor(),
+    )
+    assert res.num_reads >= 1
+
+    multi_out = str(tmp_path / "multi")
+    results = _spawn_workers(
+        tmp_path, nproc=3, extra_args=("detect", str(data_dir), multi_out)
+    )
+    assert sum(r["num_reads"] for r in results) == res.num_reads
+    assert min(r["num_reads"] for r in results) == 0  # someone starved
+
+    solo_beds = sorted(glob.glob(os.path.join(solo_out, "mod_pos.*.bed")))
+    assert solo_beds
+    for sb in solo_beds:
+        mb = os.path.join(multi_out, os.path.basename(sb))
+        assert open(sb, "rb").read() == open(mb, "rb").read(), sb
