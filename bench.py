@@ -104,20 +104,25 @@ def main() -> None:
     params = jax.device_put(init_bilstm_params(jax.random.PRNGKey(0), config))
 
     batch_sizes = (65536, 131072) if backend == "tpu" else (4096,)
-    # (use_pallas, precision) variants; pallas+bf16 is the fastest
-    # supported production mode, pallas+fp32 is bit-compatible with the
-    # XLA path
-    variants = [(False, "fp32")]
+    # (use_pallas, precision, tile_b) variants; pallas+bf16 is the
+    # fastest supported production mode, pallas+fp32 is bit-compatible
+    # with the XLA path. bf16 runs BOTH batch tiles because 256 vs 384
+    # flip ordering with tunnel load (docs/Validation.md) — the bench
+    # reports whichever wins right now.
+    variants = [(False, "fp32", None)]
     if backend == "tpu":
-        variants += [(True, "fp32"), (True, "bf16")]
+        variants += [(True, "fp32", None), (True, "bf16", None),
+                     (True, "bf16", 256)]
 
     best = 0.0
     best_tag = ""
     for attempt in range(2):
-      for use_pallas, precision in variants:
+      for use_pallas, precision, tile_b in variants:
         fn = jax.jit(
-            lambda p, x, up=use_pallas, pr=precision: bilstm_predict(
-                p, x, config, use_pallas=up, precision=pr
+            lambda p, x, up=use_pallas, pr=precision, tb=tile_b: (
+                bilstm_predict(
+                    p, x, config, use_pallas=up, precision=pr, tile_b=tb
+                )
             )
         )
         for batch in batch_sizes:
@@ -142,6 +147,7 @@ def main() -> None:
                 best = rate
                 best_tag = (
                     f"{'pallas' if use_pallas else 'xla'}-{precision}-b{batch}"
+                    + (f"-t{tile_b}" if tile_b else "")
                 )
       if best > 0:
           break

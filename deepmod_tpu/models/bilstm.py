@@ -32,7 +32,7 @@ TPU-first design notes (NOT a translation of the TF graph):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -227,7 +227,7 @@ def _bidi_fused_features(
 
 def bilstm_center_features(
     params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
-    precision: str = "fp32",
+    precision: str = "fp32", tile_b: Optional[int] = None,
 ) -> jax.Array:
     """(B, T, F) windows -> (B, 2H) center-timestep [fw; bw] features.
 
@@ -235,7 +235,9 @@ def bilstm_center_features(
     (ops.bilstm_fused) — in-kernel input projections, VMEM-resident
     state; otherwise the XLA scan path with batched fw/bw directions.
     precision='bf16' (pallas path only) stores sequences/weights in
-    bfloat16 with fp32 accumulation.
+    bfloat16 with fp32 accumulation. tile_b None auto-selects the
+    measured-best batch tile (bf16 256/384 sit within the tunnel-load
+    drift band of each other; see docs/Validation.md).
     """
     if not use_pallas:
         return _bidi_fused_features(params, x, config)
@@ -248,15 +250,17 @@ def bilstm_center_features(
         timesteps=config.timesteps,
         forget_bias=config.forget_bias,
         precision=precision,
+        tile_b=tile_b,
     )
 
 
 def bilstm_logits(
     params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
-    precision: str = "fp32",
+    precision: str = "fp32", tile_b: Optional[int] = None,
 ) -> jax.Array:
     """(B, T, F) -> (B, 2) logits, replicating myMultiBiRNN.py:50-55."""
-    feats = bilstm_center_features(params, x, config, use_pallas, precision)
+    feats = bilstm_center_features(params, x, config, use_pallas, precision,
+                                   tile_b)
     out = jnp.dot(feats, params["out_w"], preferred_element_type=jnp.float32)
     out = out + params["out_b"]
     if config.output_layer == "sigmoid":
@@ -275,11 +279,12 @@ def bilstm_probs(
 
 def bilstm_predict(
     params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
-    precision: str = "fp32",
+    precision: str = "fp32", tile_b: Optional[int] = None,
 ) -> jax.Array:
     """argmax class per window (mfpred, myMultiBiRNN.py:59-61)."""
     return jnp.argmax(
-        bilstm_logits(params, x, config, use_pallas, precision), axis=-1
+        bilstm_logits(params, x, config, use_pallas, precision, tile_b),
+        axis=-1,
     )
 
 
