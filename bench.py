@@ -141,7 +141,7 @@ def main() -> None:
 
                 print(
                     f"bench variant pallas={use_pallas} {precision} "
-                    f"b{batch} failed: {type(exc).__name__}: "
+                    f"b{batch} tile={tile_b} failed: {type(exc).__name__}: "
                     f"{str(exc)[:200]}",
                     file=sys.stderr,
                 )

@@ -186,6 +186,7 @@ def cmd_train(args) -> int:
         unbalanced=bool(args.unbalanced),
         output_layer=args.outputlayer,
         test=args.test,
+        batch_size=args.batchsize,
     )
     train_run(
         groups, config, init_params=init_params,
@@ -508,6 +509,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test", default=None)
     p.add_argument("--outputlayer", default="", choices=["", "sigmoid"])
     p.add_argument("--unbalanced", type=int, default=0, choices=[0, 1])
+    p.add_argument(
+        "--batchsize", type=int, default=2048,
+        help="train minibatch (reference-fixed 2048; 4096 measured +26%% "
+        "samples/s on v5e — convergence hyperparameters are tuned for "
+        "2048)",
+    )
     p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("getfeatures", help="Extract training features")

@@ -214,7 +214,6 @@ class WindowPredictor:
         if windows.dtype != dt:
             windows = windows.astype(dt)
         out = np.empty(n, np.int8)
-        big = self.buckets[-1]
         inflight: List[Tuple[int, int, Any]] = []  # (start, count, device arr)
         lookahead = 2
 
@@ -224,12 +223,16 @@ class WindowPredictor:
                 out[start : start + count] = np.asarray(preds)[:count]
 
         done = 0
-        while n - done >= big:
-            inflight.append(
-                (done, big, self._fn(self.params, jnp.asarray(windows[done : done + big])))
-            )
-            done += big
-            drain(lookahead)
+        # greedily consume DESCENDING buckets: a 150k-window call runs
+        # 131072 + 16384 + a padded 4096 (~1% waste) instead of padding
+        # the whole remainder up to the top bucket (~75% waste)
+        for b in reversed(self.buckets):
+            while n - done >= b:
+                inflight.append(
+                    (done, b, self._fn(self.params, jnp.asarray(windows[done : done + b])))
+                )
+                done += b
+                drain(lookahead)
         if done < n:
             rem = n - done
             bucket = self._bucket_for(rem)
@@ -633,6 +636,14 @@ def _detect_run_inner(
 
     timer = StageTimer()
     files = sorted(discover_fast5(config.wrk_base, config.recursive))
+    if config.host_shard is not None and jax.process_count() > 1:
+        # every process would parse the SAME stripe and write colliding
+        # outputs (multi_proc turns off below) — reject loudly
+        raise ValueError(
+            "host_shard is for the manual multi-run workflow (independent "
+            "hosts); under a jax.distributed runtime file sharding and "
+            "the collective BED merge are automatic — drop --hostShard"
+        )
     if config.host_shard is not None:
         host_id, num_hosts = config.host_shard
         files = files[host_id::num_hosts]

@@ -270,10 +270,11 @@ def bilstm_logits(
 
 def bilstm_probs(
     params: Params, x: jax.Array, config: BiLSTMConfig, use_pallas: bool = False,
-    precision: str = "fp32",
+    precision: str = "fp32", tile_b: Optional[int] = None,
 ) -> jax.Array:
     return jax.nn.softmax(
-        bilstm_logits(params, x, config, use_pallas, precision), axis=-1
+        bilstm_logits(params, x, config, use_pallas, precision, tile_b),
+        axis=-1,
     )
 
 

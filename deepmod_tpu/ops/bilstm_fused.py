@@ -82,6 +82,31 @@ def _prescale_ifo(wx, wh, b):
     )
 
 
+def _cell_tail(gates, c, prescaled, forget_bias):
+    """Shared gate nonlinearity + state update for every kernel variant.
+
+    The bf16 prescale contract lives ONLY here: i/f/o arrive pre-halved
+    (folded into the weights, _prescale_ifo) and the f-gate adds the
+    pre-halved forget_bias with the original association — one copy so
+    the variants cannot drift from the bit-identity they are pinned on.
+    """
+    i = gates[:, 0 * LANE : 1 * LANE]
+    j = gates[:, 1 * LANE : 2 * LANE]
+    f = gates[:, 2 * LANE : 3 * LANE]
+    o = gates[:, 3 * LANE : 4 * LANE]
+    if prescaled:
+        s_i = 0.5 * jnp.tanh(i) + 0.5
+        s_f = 0.5 * jnp.tanh(f + 0.5 * forget_bias) + 0.5
+        s_o = 0.5 * jnp.tanh(o) + 0.5
+    else:
+        s_i = jax.nn.sigmoid(i)
+        s_f = jax.nn.sigmoid(f + forget_bias)
+        s_o = jax.nn.sigmoid(o)
+    new_c = c * s_f + s_i * jnp.tanh(j)
+    new_h = jnp.tanh(new_c) * s_o
+    return new_h, new_c
+
+
 def _make_cell(seq_dtype, forget_bias):
     """TF1 BasicLSTMCell step shared by the layered and mono kernels.
 
@@ -104,24 +129,7 @@ def _make_cell(seq_dtype, forget_bias):
                       preferred_element_type=jnp.float32)
             + b_ref[...].astype(jnp.float32)
         )
-        i = gates[:, 0 * LANE : 1 * LANE]
-        j = gates[:, 1 * LANE : 2 * LANE]
-        f = gates[:, 2 * LANE : 3 * LANE]
-        o = gates[:, 3 * LANE : 4 * LANE]
-        if prescaled:
-            s_i = 0.5 * jnp.tanh(i) + 0.5
-            # f arrives pre-halved; adding the pre-halved forget_bias
-            # here (same association as the unscaled form) keeps the
-            # tanh argument bit-exactly 0.5*(f_unscaled + forget_bias)
-            s_f = 0.5 * jnp.tanh(f + 0.5 * forget_bias) + 0.5
-            s_o = 0.5 * jnp.tanh(o) + 0.5
-        else:
-            s_i = jax.nn.sigmoid(i)
-            s_f = jax.nn.sigmoid(f + forget_bias)
-            s_o = jax.nn.sigmoid(o)
-        new_c = c * s_f + s_i * jnp.tanh(j)
-        new_h = jnp.tanh(new_c) * s_o
-        return new_h, new_c
+        return _cell_tail(gates, c, prescaled, forget_bias)
 
     return cell
 
@@ -342,21 +350,7 @@ def _mono_merged_kernel(
                     preferred_element_type=jnp.float32)
             + b_ref[...].astype(jnp.float32)
         )
-        i = gates[:, 0 * LANE : 1 * LANE]
-        j = gates[:, 1 * LANE : 2 * LANE]
-        f = gates[:, 2 * LANE : 3 * LANE]
-        o = gates[:, 3 * LANE : 4 * LANE]
-        if prescaled:
-            s_i = 0.5 * jnp.tanh(i) + 0.5
-            s_f = 0.5 * jnp.tanh(f + 0.5 * forget_bias) + 0.5
-            s_o = 0.5 * jnp.tanh(o) + 0.5
-        else:
-            s_i = jax.nn.sigmoid(i)
-            s_f = jax.nn.sigmoid(f + forget_bias)
-            s_o = jax.nn.sigmoid(o)
-        new_c = c * s_f + s_i * jnp.tanh(j)
-        new_h = jnp.tanh(new_c) * s_o
-        return new_h, new_c
+        return _cell_tail(gates, c, prescaled, forget_bias)
 
     src_fw, src_bw = None, None
     dst_fw, dst_bw = sfw_a, sbw_a
@@ -441,21 +435,7 @@ def _mono_pregemm_kernel(
                       preferred_element_type=jnp.float32)
             + b_ref[...].astype(jnp.float32)
         )
-        i = gates[:, 0 * LANE : 1 * LANE]
-        j = gates[:, 1 * LANE : 2 * LANE]
-        f = gates[:, 2 * LANE : 3 * LANE]
-        o = gates[:, 3 * LANE : 4 * LANE]
-        if prescaled:
-            s_i = 0.5 * jnp.tanh(i) + 0.5
-            s_f = 0.5 * jnp.tanh(f + 0.5 * forget_bias) + 0.5
-            s_o = 0.5 * jnp.tanh(o) + 0.5
-        else:
-            s_i = jax.nn.sigmoid(i)
-            s_f = jax.nn.sigmoid(f + forget_bias)
-            s_o = jax.nn.sigmoid(o)
-        new_c = c * s_f + s_i * jnp.tanh(j)
-        new_h = jnp.tanh(new_c) * s_o
-        return new_h, new_c
+        return _cell_tail(gates, c, prescaled, forget_bias)
 
     src_fw, src_bw = None, None
     dst_fw, dst_bw = sfw_a, sbw_a
@@ -666,7 +646,6 @@ def bilstm_fused_center_mono(
         # [x; h] assembly buffers, one per lane
         extra_scratch = [pltpu.VMEM((tile_b, 2 * LANE), seq_dtype)] * 2
     elif pregemm:
-        assert not wavefront
         gate_dtype = jnp.bfloat16 if gate_store == "bf16" else jnp.float32
         kern = functools.partial(_mono_pregemm_kernel, gate_dtype=gate_dtype)
         n_state = 4
@@ -713,7 +692,7 @@ def bilstm_fused_center_mono(
 @functools.partial(jax.jit, static_argnames=("num_layers", "num_hidden",
                                              "timesteps", "forget_bias",
                                              "tile_b", "interpret",
-                                             "precision"))
+                                             "precision", "mono"))
 def bilstm_fused_center(
     params: Dict[str, Any],
     x: jnp.ndarray,
@@ -721,11 +700,11 @@ def bilstm_fused_center(
     num_hidden: int = 100,
     timesteps: int = 21,
     forget_bias: float = 1.0,
-    tile_b: int | None = None,  # None: 256 bf16 / 128 fp32 (measured best
-                                # on v5e; fp32 at 256 or either at 512
-                                # exceeds the 16M scoped-VMEM limit)
+    tile_b: int | None = None,  # None: auto per kernel/precision
     interpret: bool | None = None,
     precision: str = "fp32",
+    mono: bool | None = None,   # None: auto (mono for odd T <= 25);
+                                # False forces the layered kernels
 ) -> jnp.ndarray:
     """(B, T, F) -> (B, 2H) center features via the fused layer kernels.
 
@@ -742,10 +721,16 @@ def bilstm_fused_center(
     16M scoped-VMEM limit around T~31 at its default tiles, and its
     static unroll has no fori_loop fallback past 32 steps.
     """
-    if timesteps % 2 == 1 and timesteps <= 25 and tile_b is None:
+    if mono is None:
+        mono = timesteps % 2 == 1 and timesteps <= 25
+    if mono:
+        # an explicit tile_b selects the MONO kernel's batch tile (the
+        # production kernel for odd T) — it must not silently fall back
+        # to the slower layered kernel; mono=False forces the layered
+        # kernels (parity tests, even-T shapes)
         return bilstm_fused_center_mono(
             params, x, num_layers=num_layers, num_hidden=num_hidden,
-            timesteps=timesteps, forget_bias=forget_bias,
+            timesteps=timesteps, forget_bias=forget_bias, tile_b=tile_b,
             interpret=interpret, precision=precision,
         )
     if interpret is None:

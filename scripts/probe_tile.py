@@ -43,7 +43,11 @@ def main():
     for tile_b in (128, 256, 512):
         fn = jax.jit(lambda p, xb, tb=tile_b: jnp.argmax(
             jnp.dot(
-                bilstm_fused_center(p, xb, tile_b=tb, precision="bf16"),
+                # mono=False: this sweep historically measures the
+                # LAYERED kernel tiles (the mono default is probed in
+                # probe_mono/probe_pregemm)
+                bilstm_fused_center(p, xb, tile_b=tb, precision="bf16",
+                                    mono=False),
                 p["out_w"], preferred_element_type=jnp.float32,
             ) + p["out_b"], axis=-1))
         try:

@@ -221,7 +221,7 @@ def test_mono_kernel_bit_identical_to_layered(small_setup, wavefront):
         want = np.asarray(
             bilstm_fused_center(
                 params, jnp.asarray(x), tile_b=8, interpret=True,
-                precision=precision,
+                precision=precision, mono=False,  # force the layered side
             )
         )
         np.testing.assert_array_equal(got, want)
