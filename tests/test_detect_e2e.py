@@ -336,3 +336,33 @@ def test_target_only_beds_identical(e2e, tmp_path):
                 )
                 n_checked += int(target.sum())
     assert n_checked > 100
+
+
+def test_predictor_greedy_bucket_remainder():
+    """predict() consumes DESCENDING buckets greedily; the composed
+    result must match a single-shot classification for sizes that
+    straddle several bucket boundaries (incl. the padded tail)."""
+    import jax
+    import numpy as np
+
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import (
+        BiLSTMConfig,
+        bilstm_predict,
+        init_bilstm_params,
+    )
+
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(5), config)
+    pred = WindowPredictor(
+        params, config, buckets=(8, 64, 256), use_pallas=False,
+        data_parallel=False,
+    )
+    for n in (1, 7, 8, 9, 255, 256, 300, 583):
+        x = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(n), (n, 21, 7)),
+            np.float32,
+        )
+        want = np.asarray(bilstm_predict(params, x, config)).astype(np.int8)
+        got = pred.predict(x)
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
