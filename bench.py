@@ -3,15 +3,32 @@
 
 Prints ONE JSON line:
   {"metric": "bilstm_windows_per_s", "value": N, "unit": "windows/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "mfu": ..., "e2e_windows_per_s": ..., ...}
 
 The model is the production configuration (3x2 LSTM layers, hidden 100,
 21x7 windows — myMultiBiRNN.py:21-91 semantics) and the measured path is
 exactly what deepmod_tpu.engine.detect runs per window batch.
 
-Timing method: the execution results are CHAINED (each iteration's
-predictions feed an on-device accumulator) and a single device-to-host
-transfer ends the run. On this environment's tunneled TPU platform,
+Resilience design (this environment's TPU is reached through a tunnel
+that can wedge for minutes after a killed client, and device calls can
+raise FAILED_PRECONDITION or hang indefinitely — round 2's record died
+to exactly that):
+
+- The PARENT process never touches a JAX device. All device work runs in
+  child processes (``--child kernel`` / ``--child e2e``) with watchdog
+  timeouts; a hung child is killed by process group and retried after an
+  escalating backoff that spans the documented tunnel-recovery horizon.
+- The kernel child writes its best-so-far result to a file after EVERY
+  measured variant, so even a sweep that hangs midway leaves a valid
+  number for the parent to report.
+- If every TPU attempt fails, the kernel bench re-runs on the CPU
+  backend (a real, if slow, measurement) and the JSON carries the TPU
+  error plus the last-known-good chip number for context.
+- Whatever happens, the parent prints exactly one parseable JSON line.
+
+Timing method (chip path): execution results are CHAINED (each
+iteration's predictions feed an on-device accumulator) and a single
+device-to-host transfer ends the run. On the tunneled TPU platform,
 ``block_until_ready`` returns before execution finishes and a per-call
 host sync pays a ~36 ms round trip, so naive timing is wrong in both
 directions; chaining measures true sustained device throughput.
@@ -23,14 +40,29 @@ docs/Reproducibility.md:26,30 reports ~41 min for the E. coli meth10_lib3
 on 15 threads.
 """
 
+import argparse
 import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
 import time
-
-import numpy as np
 
 BASELINE_WINDOWS_PER_S = 5.7e4  # reference, 15 CPU threads (see docstring)
 
 ITERS = 16
+
+# Most recent chip measurement that is NOT attested by a driver-captured
+# artifact (round-2 in-session probe, docs/Validation.md). Reported for
+# context ONLY when the current run's TPU path fails.
+LAST_KNOWN_GOOD = {
+    "value": 8.11e6,
+    "unit": "windows/s",
+    "config": "pallas-bf16-b262144",
+    "source": "round-2 in-session probe (docs/Validation.md); "
+              "not driver-captured",
+}
 
 # peak dense-matmul throughput by device kind (bf16, FLOP/s); used for
 # the MFU fields. Sources: public TPU spec sheets.
@@ -72,9 +104,14 @@ def model_flops_per_window(
     return useful, padded
 
 
+# --------------------------------------------------------------------------
+# kernel child: device-only windows/s sweep, best-so-far written per variant
+
+
 def measure(fn, params, x, batch: int) -> float:
     """Sustained windows/s via chained on-device accumulation."""
     import jax.numpy as jnp
+    import numpy as np
 
     acc = jnp.zeros((batch,), jnp.int32)
     # warmup + compile (also warms the accumulate op)
@@ -89,9 +126,10 @@ def measure(fn, params, x, batch: int) -> float:
     return batch * ITERS / dt
 
 
-def main() -> None:
+def child_kernel(out_path: str, sweep: str) -> int:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from deepmod_tpu.models.bilstm import (
         BiLSTMConfig,
@@ -101,160 +139,396 @@ def main() -> None:
 
     backend = jax.default_backend()
     config = BiLSTMConfig(num_input=7, num_hidden=100, timesteps=21)
-    params = jax.device_put(init_bilstm_params(jax.random.PRNGKey(0), config))
+    host_params = init_bilstm_params(jax.random.PRNGKey(0), config)
 
-    batch_sizes = (65536, 131072, 262144) if backend == "tpu" else (4096,)
-    # (use_pallas, precision, tile_b) variants; pallas+bf16 is the
-    # fastest supported production mode, pallas+fp32 is bit-compatible
-    # with the XLA path. bf16 runs BOTH batch tiles because 256 vs 384
-    # flip ordering with tunnel load (docs/Validation.md) — the bench
-    # reports whichever wins right now.
-    variants = [(False, "fp32", None)]
+    # (use_pallas, precision, tile_b, batch), BEST-KNOWN-FIRST so a sweep
+    # cut short by a tunnel hang still records the headline config first.
+    # pallas+bf16 is the fastest supported production mode; the XLA fp32
+    # scan is the floor reference. 256-vs-384 row tiles flip ordering
+    # with tunnel load (docs/Validation.md) — both run; the bench reports
+    # whichever wins right now.
     if backend == "tpu":
-        variants += [(True, "fp32", None), (True, "bf16", None),
-                     (True, "bf16", 256)]
+        if sweep == "minimal":
+            variants = [
+                (True, "bf16", None, 262144),
+                (True, "bf16", None, 131072),
+            ]
+        else:
+            variants = [
+                (True, "bf16", None, 262144),
+                (True, "bf16", 256, 262144),
+                (True, "bf16", None, 131072),
+                (True, "bf16", 256, 131072),
+                (False, "fp32", None, 65536),
+            ]
+    else:
+        variants = [(False, "fp32", None, 4096)]
 
+    useful_fpw, padded_fpw = model_flops_per_window()
     best = 0.0
     best_tag = ""
-    for attempt in range(2):
-      for use_pallas, precision, tile_b in variants:
-        fn = jax.jit(
-            lambda p, x, up=use_pallas, pr=precision, tb=tile_b: (
-                bilstm_predict(
-                    p, x, config, use_pallas=up, precision=pr, tile_b=tb
+    errors = []
+    params = None
+
+    def write(best, best_tag):
+        peak = _peak_for(jax.devices()[0]) if backend == "tpu" else None
+        # the FLOP model (readout-cone steps, LANE/GATES padding)
+        # describes the Pallas kernel; for an XLA winner utilization
+        # numbers would be fabricated — omit.
+        if not best_tag.startswith("pallas"):
+            peak = None
+        rec = {
+            "metric": "bilstm_windows_per_s",
+            "value": round(best, 1),
+            "unit": "windows/s",
+            "vs_baseline": round(best / BASELINE_WINDOWS_PER_S, 2),
+            "config": best_tag,
+            "backend": backend,
+            "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
+            "mfu": round(best * useful_fpw / peak, 4) if peak else None,
+            "mxu_util": (
+                round(best * padded_fpw / peak, 4) if peak else None
+            ),
+            "model_flops_per_window": useful_fpw,
+            "padded_flops_per_window": padded_fpw,
+        }
+        if errors:
+            rec["variant_errors"] = errors[:4]
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, out_path)
+
+    for use_pallas, precision, tile_b, batch in variants:
+        tag = (
+            f"{'pallas' if use_pallas else 'xla'}-{precision}-b{batch}"
+            + (f"-t{tile_b}" if tile_b else "")
+        )
+        print(f"bench kernel: measuring {tag}", file=sys.stderr, flush=True)
+        try:
+            if params is None:
+                params = jax.device_put(host_params)
+            fn = jax.jit(
+                lambda p, x, up=use_pallas, pr=precision, tb=tile_b: (
+                    bilstm_predict(
+                        p, x, config, use_pallas=up, precision=pr, tile_b=tb
+                    )
                 )
             )
-        )
-        for batch in batch_sizes:
-            if not use_pallas and batch > 131072:
-                continue  # the scan floor-reference gains nothing from
-                #           the big batch; skip its slow fresh compile
             x = jax.random.normal(
                 jax.random.PRNGKey(1), (batch, 21, 7), jnp.float32
             )
-            try:
-                rate = measure(fn, params, x, batch)
-            except Exception as exc:
-                # keep stdout to the one JSON line, but never hide a
-                # failing variant (a VMEM OOM hid here once)
-                import sys
-
-                print(
-                    f"bench variant pallas={use_pallas} {precision} "
-                    f"b{batch} tile={tile_b} failed: {type(exc).__name__}: "
-                    f"{str(exc)[:200]}",
-                    file=sys.stderr,
-                )
-                continue
-            if rate > best:
-                best = rate
-                best_tag = (
-                    f"{'pallas' if use_pallas else 'xla'}-{precision}-b{batch}"
-                    + (f"-t{tile_b}" if tile_b else "")
-                )
-      if best > 0:
-          break
-      time.sleep(30)  # transient backend trouble: one retry
-
-    useful_fpw, padded_fpw = model_flops_per_window()
-    peak = _peak_for(jax.devices()[0]) if backend == "tpu" else None
-    # the FLOP model (readout-cone steps, LANE/GATES padding) describes
-    # the Pallas kernel; if an XLA variant won (e.g. both Pallas modes
-    # failed to compile), utilization numbers would be fabricated — omit.
-    if not best_tag.startswith("pallas"):
-        peak = None
-    mfu = round(best * useful_fpw / peak, 4) if peak else None
-    mxu_util = round(best * padded_fpw / peak, 4) if peak else None
-
-    # warm end-to-end pipeline rate (fast5 -> align -> features -> device
-    # classify -> HDF5 + BED) on a small synthetic set; the kernel number
-    # above is device-only. On THIS machine the tunnel RTT dominates e2e
-    # (see scripts/bench_e2e.py docstring).
-    e2e_windows = e2e_reads = None
-    try:
-        e2e_windows, e2e_reads = _measure_e2e()
-    except Exception as exc:
-        import sys
-
-        print(f"bench e2e failed: {type(exc).__name__}: {str(exc)[:200]}",
-              file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "bilstm_windows_per_s",
-                "value": round(best, 1),
-                "unit": "windows/s",
-                "vs_baseline": round(best / BASELINE_WINDOWS_PER_S, 2),
-                "config": best_tag,
-                "backend": backend,
-                "device_kind": getattr(
-                    jax.devices()[0], "device_kind", "unknown"
-                ),
-                "mfu": mfu,                 # useful model FLOPs / peak bf16
-                "mxu_util": mxu_util,       # padded kernel FLOPs / peak bf16
-                "model_flops_per_window": useful_fpw,
-                "padded_flops_per_window": padded_fpw,
-                "e2e_windows_per_s": e2e_windows,
-                "e2e_reads_per_s": e2e_reads,
-            }
-        )
-    )
+            rate = measure(fn, params, x, batch)
+        except Exception as exc:  # a failing variant must not hide others
+            msg = f"{tag}: {type(exc).__name__}: {str(exc)[:160]}"
+            print(f"bench kernel variant failed: {msg}",
+                  file=sys.stderr, flush=True)
+            errors.append(msg)
+            continue
+        print(f"bench kernel: {tag} -> {rate:,.0f} windows/s",
+              file=sys.stderr, flush=True)
+        if rate > best:
+            best, best_tag = rate, tag
+        write(best, best_tag)  # best-so-far lands even if a later
+        #                        variant wedges the tunnel
+    return 0 if best > 0 else 1
 
 
-def _measure_e2e(reads: int = 40):
-    """Warm end-to-end detect rate on a synthetic dataset (one cold pass
-    for compiles, one timed warm pass). Returns (windows/s, reads/s)."""
+# --------------------------------------------------------------------------
+# e2e child: full detect pipeline (fast5 -> align -> features -> device
+# classify -> HDF5 + BED), sized so the host pipeline — not per-run fixed
+# overhead or tunnel RTT — dominates, plus a same-process host-only rate
+# for an honest device-vs-host comparison (absolute rates on this shared
+# 2-core VM swing 1.4x between runs; only same-process A/B is meaningful).
+
+E2E_READS = 160
+E2E_THREADS = 2
+
+
+def child_e2e(out_path: str) -> int:
     import dataclasses
+    import glob
     import shutil
-    import tempfile
 
     import jax
 
+    from deepmod_tpu.engine import host_worker
     from deepmod_tpu.engine.detect import (
         DetectConfig,
         WindowPredictor,
+        _host_options,
         detect_run,
     )
     from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
     from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
 
-    work = tempfile.mkdtemp(prefix="dmt_bench_e2e_")
-    try:
-        generate_dataset(work, SynthConfig(num_reads=reads, seed=11))
-        model_config = BiLSTMConfig(num_input=7)
-        params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
-        import os
+    # dataset cached across attempts (generation costs ~a minute)
+    ds = os.path.join(tempfile.gettempdir(), "dmt_bench_e2e_ds_v3")
+    if not os.path.isdir(os.path.join(ds, "fast5")):
+        print("bench e2e: generating dataset", file=sys.stderr, flush=True)
+        tmp = ds + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        generate_dataset(tmp, SynthConfig(
+            genome_sizes={"chrE": 400_000},
+            num_reads=E2E_READS,
+            read_length=(5000, 10000),
+            seed=11,
+        ))
+        os.replace(tmp, ds)
 
-        predictor = WindowPredictor(
-            params, model_config,
-            precision="bf16" if jax.default_backend() == "tpu" else "fp32",
-        )
-        config = DetectConfig(
-            wrk_base=os.path.join(work, "fast5"),
-            ref=os.path.join(work, "ref.fa"),
-            model_path="unused",
-            out_folder=os.path.join(work, "out_warm"),
-            file_id="mod",
-            base="C",
-            threads=1,
-        )
-        detect_run(
-            dataclasses.replace(
-                config, out_folder=os.path.join(work, "out_cold")
-            ),
-            predictor,
-        )
-        t0 = time.perf_counter()
-        result = detect_run(config, predictor)
-        dt = time.perf_counter() - t0
-        return (
-            round(result.num_windows / dt, 1),
-            round(result.num_reads / dt, 2),
-        )
+    model_config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
+    on_tpu = jax.default_backend() == "tpu"
+    # two buckets bound cold Pallas compiles (each costs minutes through
+    # the remote compile helper) while keeping device calls large enough
+    # that the ~36 ms tunnel sync per call stays amortized
+    predictor = WindowPredictor(
+        params, model_config,
+        buckets=(65536, 262144) if on_tpu else (16384,),
+        precision="bf16" if on_tpu else "fp32",
+    )
+    config = DetectConfig(
+        wrk_base=os.path.join(ds, "fast5"),
+        ref=os.path.join(ds, "ref.fa"),
+        model_path="unused",
+        base="C",
+        file_id="mod",
+        out_folder=os.path.join(ds, "out_warm"),
+        threads=E2E_THREADS,
+        files_per_batch=1000,
+        precision="bf16" if on_tpu else "fp32",
+    )
+    print("bench e2e: cold pass (compiles)", file=sys.stderr, flush=True)
+    detect_run(
+        dataclasses.replace(
+            config, out_folder=os.path.join(ds, "out_cold")
+        ),
+        predictor,
+    )
+    print("bench e2e: warm pass", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    result = detect_run(config, predictor)
+    dt = time.perf_counter() - t0
+    e2e_rate = result.num_windows / dt
+
+    # same-process host-only rate on the SAME files, one thread: the
+    # pipeline's upper bound is host_rate_per_thread * threads
+    host_worker.init_worker(_host_options(config))
+    files = sorted(glob.glob(
+        os.path.join(ds, "fast5", "**", "*.fast5"), recursive=True
+    ))[: max(8, E2E_READS // 4)]
+    t0 = time.perf_counter()
+    host_results, _errs = host_worker.host_process_files(files)
+    host_dt = time.perf_counter() - t0
+    host_rate = sum(r.n_aligned for r in host_results) / host_dt
+
+    rec = {
+        "e2e_windows_per_s": round(e2e_rate, 1),
+        "e2e_reads_per_s": round(result.num_reads / dt, 2),
+        "e2e_windows": result.num_windows,
+        "e2e_reads": result.num_reads,
+        "e2e_threads": E2E_THREADS,
+        "e2e_wall_s": round(dt, 2),
+        "e2e_host_windows_per_s_per_thread": round(host_rate, 1),
+        "e2e_vs_host_bound": round(
+            e2e_rate / (host_rate * E2E_THREADS), 3
+        ),
+        "e2e_note": (
+            "full detect pipeline (fast5->align->features->device "
+            "classify->HDF5+BED) on synthetic long reads; host-stage "
+            "bound — e2e_vs_host_bound compares against "
+            "host_rate_per_thread x threads measured same-process"
+        ),
+    }
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, out_path)
+    return 0
+
+
+# --------------------------------------------------------------------------
+# parent orchestration: children under watchdog timeouts, escalating
+# retries, CPU fallback, guaranteed one-line JSON output
+
+
+def _run_child(mode: str, out_path: str, timeout_s: float,
+               extra_env: dict | None = None, sweep: str = "full") -> dict | None:
+    """Run one child attempt; return its result dict (possibly partial —
+    written incrementally) or None. Never raises."""
+    try:
+        os.unlink(out_path)
+    except OSError:
+        pass
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--child", mode, "--out", out_path, "--sweep", sweep]
+    proc = subprocess.Popen(
+        cmd, stdout=sys.stderr, stderr=sys.stderr, env=env,
+        start_new_session=True,  # so a timeout can kill the whole group
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    _ACTIVE_CHILDREN.append(proc)
+    try:
+        proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: {mode} child exceeded {timeout_s:.0f}s watchdog, "
+              "killing", file=sys.stderr, flush=True)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        proc.wait()
+    except Exception:
+        pass
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        _ACTIVE_CHILDREN.remove(proc)
+    try:
+        with open(out_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+_ACTIVE_CHILDREN: list = []
+
+
+def main() -> None:
+    budget = float(os.environ.get("DMT_BENCH_BUDGET_S", 7200))
+    deadline = time.time() + budget
+    workdir = tempfile.mkdtemp(prefix="dmt_bench_")
+    kout = os.path.join(workdir, "kernel.json")
+    eout = os.path.join(workdir, "e2e.json")
+    errors = []
+
+    # If the DRIVER kills this bench (its own timeout), still reap any
+    # device-holding child (an orphaned TPU client wedges the tunnel for
+    # every later client) and flush whatever partial record exists as
+    # the one JSON line before dying.
+    def _on_term(signum, frame):
+        for proc in list(_ACTIVE_CHILDREN):
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+        record = None
+        try:
+            with open(kout) as fh:
+                record = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        if record is None:
+            record = {
+                "metric": "bilstm_windows_per_s", "value": 0,
+                "unit": "windows/s", "vs_baseline": 0.0, "backend": "none",
+                "last_known_good": LAST_KNOWN_GOOD,
+            }
+        record["error"] = f"bench terminated by signal {signum}"
+        try:
+            with open(eout) as fh:
+                record.update(json.load(fh))
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(record), flush=True)
+        os._exit(0)  # "success": the line above IS the degraded record
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    def remaining() -> float:
+        return deadline - time.time()
+
+    # ---- kernel bench: TPU attempts with escalating backoff ----------
+    kernel = None
+    attempts = [  # (sweep, watchdog_s, backoff_before_s)
+        ("full", 2400, 0),
+        ("minimal", 1500, 120),
+        ("minimal", 1200, 300),
+    ]
+    for sweep, watchdog, backoff in attempts:
+        if backoff and remaining() > backoff + 300:
+            print(f"bench: backing off {backoff}s for tunnel recovery",
+                  file=sys.stderr, flush=True)
+            time.sleep(backoff)
+        watchdog = min(watchdog, max(120.0, remaining() * 0.55))
+        kernel = _run_child("kernel", kout, watchdog, sweep=sweep)
+        if kernel and kernel.get("value", 0) > 0:
+            break
+        errors.append(
+            f"kernel attempt ({sweep}) failed"
+            + (f": {kernel.get('variant_errors')}" if kernel else " (no output)")
+        )
+        kernel = None
+    if kernel is None and remaining() > 300:
+        print("bench: all TPU kernel attempts failed; CPU fallback",
+              file=sys.stderr, flush=True)
+        kernel = _run_child(
+            "kernel", kout, min(900, remaining() - 60),
+            extra_env={"DMT_BENCH_PLATFORM": "cpu"},
+        )
+        if kernel is not None:
+            kernel["error"] = "; ".join(errors)[:500]
+            kernel["last_known_good"] = LAST_KNOWN_GOOD
+
+    # ---- e2e bench ---------------------------------------------------
+    e2e = None
+    for watchdog, backoff in ((2700, 0), (1800, 120)):
+        if remaining() < 420:
+            errors.append("e2e skipped: bench budget exhausted")
+            break
+        if backoff and remaining() > backoff + 420:
+            time.sleep(backoff)
+        e2e = _run_child("e2e", eout, min(watchdog, remaining() - 60))
+        if e2e is not None:
+            break
+        errors.append("e2e attempt failed (no output)")
+
+    # ---- compose the one JSON line ----------------------------------
+    if kernel is None:
+        kernel = {
+            "metric": "bilstm_windows_per_s",
+            "value": 0,
+            "unit": "windows/s",
+            "vs_baseline": 0.0,
+            "config": "",
+            "backend": "none",
+            "error": "; ".join(errors)[:800] or "all attempts failed",
+            "last_known_good": LAST_KNOWN_GOOD,
+        }
+    record = dict(kernel)
+    if e2e is not None:
+        record.update(e2e)
+    else:
+        record.setdefault("e2e_windows_per_s", None)
+        record.setdefault("e2e_reads_per_s", None)
+        if errors and "error" not in record:
+            record["e2e_error"] = "; ".join(
+                e for e in errors if e.startswith("e2e")
+            )[:300]
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", choices=["kernel", "e2e"], default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--sweep", choices=["full", "minimal"], default="full")
+    cli = ap.parse_args()
+    if cli.child:
+        # this environment pre-imports jax in every process and ignores a
+        # JAX_PLATFORMS env var set after that import; the config update
+        # below is the reliable way to pin a child to a backend (it works
+        # any time before first backend use)
+        plat = os.environ.get("DMT_BENCH_PLATFORM")
+        if plat:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+    if cli.child == "kernel":
+        sys.exit(child_kernel(cli.out, cli.sweep))
+    elif cli.child == "e2e":
+        sys.exit(child_e2e(cli.out))
+    else:
+        main()

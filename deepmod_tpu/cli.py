@@ -627,6 +627,17 @@ def _print_parameters(args) -> None:
 
 
 def main(argv=None) -> int:
+    # DMT_PLATFORM=cpu|tpu pins the JAX backend. A plain JAX_PLATFORMS
+    # env var is NOT reliable here: some environments pre-import jax in
+    # every python process before user env propagation, so the explicit
+    # config update (valid any time before first backend use) is the
+    # portable override — e.g. validation loops that should not pay
+    # remote-TPU compile latency.
+    plat = os.environ.get("DMT_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     # persistent XLA compilation cache: ON by default (TPU compiles can
     # take minutes; cached reruns are instant). DMT_COMPILE_CACHE=<dir>
     # overrides the location, DMT_COMPILE_CACHE= (empty) disables.

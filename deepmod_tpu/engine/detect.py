@@ -223,9 +223,14 @@ class WindowPredictor:
                 out[start : start + count] = np.asarray(preds)[:count]
 
         done = 0
-        # greedily consume DESCENDING buckets: a 150k-window call runs
-        # 131072 + 16384 + a padded 4096 (~1% waste) instead of padding
-        # the whole remainder up to the top bucket (~75% waste)
+        # consume DESCENDING buckets greedily, but stop descending once the
+        # remainder's covering bucket pads with bounded waste (<= max of
+        # the smallest bucket and ~1.5% of n): a 150k-window call runs
+        # 131072 + 16384 + a padded 4096 (3 device calls, ~1% waste)
+        # instead of either padding the whole call up to the top bucket
+        # (~75% waste) or descending through every level (8 calls — each
+        # result fetch pays the tunnel's host-sync RTT)
+        max_waste = max(self.buckets[0], n >> 6)
         for b in reversed(self.buckets):
             while n - done >= b:
                 inflight.append(
@@ -233,12 +238,18 @@ class WindowPredictor:
                 )
                 done += b
                 drain(lookahead)
+            rem = n - done
+            if rem == 0 or self._bucket_for(rem) - rem <= max_waste:
+                break
         if done < n:
             rem = n - done
             bucket = self._bucket_for(rem)
-            padded = np.zeros((bucket,) + windows.shape[1:], windows.dtype)
-            padded[:rem] = windows[done:]
-            inflight.append((done, rem, self._fn(self.params, jnp.asarray(padded))))
+            if bucket == rem:
+                tail = windows[done:]
+            else:
+                tail = np.zeros((bucket,) + windows.shape[1:], windows.dtype)
+                tail[:rem] = windows[done:]
+            inflight.append((done, rem, self._fn(self.params, jnp.asarray(tail))))
         drain(0)
         return out
 

@@ -87,11 +87,13 @@ def merge_counts_across_processes(
         pc = counts.get(key)
         if pc is not None:
             coo[key] = pc.to_coo()
-            meta[i, 0], meta[i, 1] = _split_i64(
-                np.asarray([len(coo[key][0])], np.int64)
-            )
-    chunk_local = int(os.environ.get("DMT_MERGE_CHUNK_ROWS", 1 << 22))
-    meta[-1, 0], meta[-1, 1] = _split_i64(np.asarray([chunk_local], np.int64))
+            hi, lo = _split_i64(np.asarray([len(coo[key][0])], np.int64))
+            meta[i, 0], meta[i, 1] = int(hi[0]), int(lo[0])
+    # clamp: 0 would raise inside range(); a negative chunk would make the
+    # per-key range() empty and silently drop every gathered count
+    chunk_local = max(1, int(os.environ.get("DMT_MERGE_CHUNK_ROWS", 1 << 22)))
+    hi, lo = _split_i64(np.asarray([chunk_local], np.int64))
+    meta[-1, 0], meta[-1, 1] = int(hi[0]), int(lo[0])
     all_meta = np.asarray(multihost_utils.process_allgather(meta))
     all_n = _join_i64(all_meta[:, :-1, 0], all_meta[:, :-1, 1])  # (nproc, nkeys)
     chunk_rows = int(_join_i64(all_meta[0, -1, 0], all_meta[0, -1, 1]))

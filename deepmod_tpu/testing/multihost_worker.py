@@ -70,6 +70,11 @@ def run_detect(dataset_dir: str, out_folder: str, out_path: str) -> None:
                 "pid": jax.process_index(),
                 "devices": jax.device_count(),
                 "num_reads": res.num_reads,
+                "num_windows": res.num_windows,
+                "wall_s": res.elapsed_s,
+                "stage_seconds": {
+                    k: round(v, 4) for k, v in res.stage_seconds.items()
+                },
                 "beds": sorted(
                     os.path.basename(b) for b in res.bed_files
                 ),

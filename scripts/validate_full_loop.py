@@ -52,7 +52,11 @@ def main() -> None:
     ap.add_argument("--small", action="store_true",
                     help="tiny sizes for a smoke run")
     ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--fnum", type=int, default=7, choices=(7, 57),
+                    help="57 adds the 50-bin signal histogram features "
+                         "(myDetect.py:885-891)")
     args = ap.parse_args()
+    fnum = ["--fnum", str(args.fnum)]
 
     genome_size = 20_000 if args.small else 200_000
     n_train = 40 if args.small else 600
@@ -96,7 +100,7 @@ def main() -> None:
             "--posneg", str(posneg),
             "--outFolder", os.path.join(base, f"feat_{name}"),
             "--FileID", "f", "--threads", str(args.threads),
-        ])
+        ] + fnum)
 
     # 2. train: 4 plain epochs, then resume class-weighted
     train1 = os.path.join(base, "train1")
@@ -106,7 +110,7 @@ def main() -> None:
         os.path.join(base, "feat_train_mod") + ";" +
         os.path.join(base, "feat_train_ctl"),
         "--outFolder", train1, "--FileID", "m",
-    ])
+    ] + fnum)
     ckpt1 = os.path.join(train1, "4", "m.npz")
     train2 = os.path.join(base, "train2")
     run(py + [
@@ -116,7 +120,7 @@ def main() -> None:
         os.path.join(base, "feat_train_ctl"),
         "--outFolder", train2, "--FileID", "m",
         "--modfile", ckpt1, "--unbalanced", "1",
-    ])
+    ] + fnum)
     model = os.path.join(train2, "4", "m.npz")
 
     # 3. detect on held-out sets
@@ -127,7 +131,7 @@ def main() -> None:
             "--outFolder", os.path.join(base, f"det_{name}"),
             "--FileID", "mod", "--Base", "C",
             "--threads", str(args.threads),
-        ])
+        ] + fnum)
 
     # 4. evaluate vs motif ground truth
     out = run(py + [
@@ -149,7 +153,7 @@ def main() -> None:
                 metrics[k.strip()] = float(v)
             except ValueError:
                 pass
-    print(json.dumps({"full_loop_metrics": metrics,
+    print(json.dumps({"full_loop_metrics": metrics, "fnum": args.fnum,
                       "total_s": round(time.time() - t_start, 1)}))
 
 

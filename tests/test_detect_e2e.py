@@ -366,3 +366,38 @@ def test_predictor_greedy_bucket_remainder():
         want = np.asarray(bilstm_predict(params, x, config)).astype(np.int8)
         got = pred.predict(x)
         np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+
+
+def test_predictor_bounded_waste_schedule():
+    """The bucket descent stops once the remainder's covering bucket pads
+    with bounded waste, instead of descending through every level (each
+    device call's result fetch pays the host-sync RTT)."""
+    import jax.numpy as jnp
+
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(5), config)
+    pred = WindowPredictor(
+        params, config, buckets=(8, 64, 256), use_pallas=False,
+        data_parallel=False,
+    )
+    calls = []
+
+    def fake_fn(p, x):
+        calls.append(int(x.shape[0]))
+        return jnp.zeros((x.shape[0],), jnp.int8)
+
+    pred._fn = fake_fn
+    # n=4436, max_waste = max(8, 4436>>6) = 69: 17x256 -> rem 84 (waste
+    # 172 > 69, keep descending) -> 1x64 -> rem 20 (covering 64 wastes
+    # 44 <= 69: STOP, pad to 64). The fully-greedy schedule would run
+    # 2x8 + a padded 8 instead (two extra calls).
+    out = pred.predict(np.zeros((4436, 21, 7), np.float32))
+    assert len(out) == 4436
+    assert calls == [256] * 17 + [64, 64]
+    # exact bucket fit never pads (and the tail path copies nothing)
+    calls.clear()
+    pred.predict(np.zeros((256, 21, 7), np.float32))
+    assert calls == [256]
