@@ -51,7 +51,10 @@ import time
 
 BASELINE_WINDOWS_PER_S = 5.7e4  # reference, 15 CPU threads (see docstring)
 
-ITERS = 16
+# test hooks (tests/test_bench.py runs the full parent->child flow in
+# seconds): iteration count and a CPU batch override
+ITERS = int(os.environ.get("DMT_BENCH_ITERS", 16))
+CPU_BATCH = int(os.environ.get("DMT_BENCH_CPU_BATCH", 4096))
 
 # Most recent chip measurement that is NOT attested by a driver-captured
 # artifact (round-2 in-session probe, docs/Validation.md). Reported for
@@ -162,7 +165,7 @@ def child_kernel(out_path: str, sweep: str) -> int:
                 (False, "fp32", None, 65536),
             ]
     else:
-        variants = [(False, "fp32", None, 4096)]
+        variants = [(False, "fp32", None, CPU_BATCH)]
 
     useful_fpw, padded_fpw = model_flops_per_window()
     best = 0.0
@@ -262,23 +265,29 @@ def child_e2e(out_path: str) -> int:
     from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
     from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
 
+    on_tpu = jax.default_backend() == "tpu"
+    # CPU backend classifies ~3k windows/s — a chip-sized dataset would
+    # take hours; the CPU path only smoke-tests the plumbing
+    n_reads = E2E_READS if on_tpu else 8
+    read_len = (5000, 10000) if on_tpu else (700, 1200)
     # dataset cached across attempts (generation costs ~a minute)
-    ds = os.path.join(tempfile.gettempdir(), "dmt_bench_e2e_ds_v3")
+    ds = os.path.join(
+        tempfile.gettempdir(), f"dmt_bench_e2e_ds_v3_r{n_reads}"
+    )
     if not os.path.isdir(os.path.join(ds, "fast5")):
         print("bench e2e: generating dataset", file=sys.stderr, flush=True)
         tmp = ds + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         generate_dataset(tmp, SynthConfig(
-            genome_sizes={"chrE": 400_000},
-            num_reads=E2E_READS,
-            read_length=(5000, 10000),
+            genome_sizes={"chrE": 400_000 if on_tpu else 20_000},
+            num_reads=n_reads,
+            read_length=read_len,
             seed=11,
         ))
         os.replace(tmp, ds)
 
     model_config = BiLSTMConfig(num_input=7)
     params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
-    on_tpu = jax.default_backend() == "tpu"
     # two buckets bound cold Pallas compiles (each costs minutes through
     # the remote compile helper) while keeping device calls large enough
     # that the ~36 ms tunnel sync per call stays amortized
@@ -295,7 +304,9 @@ def child_e2e(out_path: str) -> int:
         file_id="mod",
         out_folder=os.path.join(ds, "out_warm"),
         threads=E2E_THREADS,
-        files_per_batch=1000,
+        # several batches per run so the prefetch thread overlaps batch
+        # i+1's host work with batch i's device inference + outputs
+        files_per_batch=max(8, n_reads // 5),
         precision="bf16" if on_tpu else "fp32",
     )
     print("bench e2e: cold pass (compiles)", file=sys.stderr, flush=True)
@@ -316,7 +327,7 @@ def child_e2e(out_path: str) -> int:
     host_worker.init_worker(_host_options(config))
     files = sorted(glob.glob(
         os.path.join(ds, "fast5", "**", "*.fast5"), recursive=True
-    ))[: max(8, E2E_READS // 4)]
+    ))[: max(8, n_reads // 4)]
     t0 = time.perf_counter()
     host_results, _errs = host_worker.host_process_files(files)
     host_dt = time.perf_counter() - t0
@@ -335,9 +346,10 @@ def child_e2e(out_path: str) -> int:
         ),
         "e2e_note": (
             "full detect pipeline (fast5->align->features->device "
-            "classify->HDF5+BED) on synthetic long reads; host-stage "
-            "bound — e2e_vs_host_bound compares against "
-            "host_rate_per_thread x threads measured same-process"
+            f"classify->HDF5+BED) on {n_reads} synthetic reads; "
+            "e2e_vs_host_bound compares against host_rate_per_thread x "
+            "threads measured same-process (the pipeline's upper bound "
+            "when the device is not the bottleneck)"
         ),
     }
     tmp = out_path + ".tmp"
@@ -474,7 +486,10 @@ def main() -> None:
 
     # ---- e2e bench ---------------------------------------------------
     e2e = None
-    for watchdog, backoff in ((2700, 0), (1800, 120)):
+    attempts_e2e = ((2700, 0), (1800, 120))
+    if os.environ.get("DMT_BENCH_SKIP_E2E") == "1":  # test hook
+        attempts_e2e = ()
+    for watchdog, backoff in attempts_e2e:
         if remaining() < 420:
             errors.append("e2e skipped: bench budget exhausted")
             break
