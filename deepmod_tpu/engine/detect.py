@@ -83,7 +83,14 @@ class DetectConfig:
     trace_dir: Optional[str] = None   # jax.profiler trace output
     # aggregate per-position counts ON DEVICE (segment-add + psum over the
     # mesh) instead of host bincount; needs >1 device and dense-sized
-    # chromosomes — the multi-chip path where merges ride the ICI
+    # chromosomes — the multi-chip path where merges ride the ICI.
+    # Default OFF by measurement (scripts/probe_device_agg.py, round 3):
+    # host bincount wins 2.6-4.2x on an 8-device CPU mesh at realistic
+    # batch/chromosome sizes (the shard_map+psum machinery costs more
+    # than the bandwidth-bound bincount it replaces), and on a 1-chip
+    # tunneled TPU the observation transfer dominates. Kept available
+    # (and engine-tested byte-identical) for real multi-chip meshes
+    # where per-batch merges ride ICI instead of host memory.
     device_aggregation: bool = False
     # classify only windows whose reference base IS the target (~4x less
     # device work/transfer; BED-identical since summaries count only
