@@ -244,7 +244,8 @@ def child_kernel(out_path: str, sweep: str) -> int:
 # for an honest device-vs-host comparison (absolute rates on this shared
 # 2-core VM swing 1.4x between runs; only same-process A/B is meaningful).
 
-E2E_READS = 160
+E2E_READS = 400  # ~3M windows: amortizes the ~5 s fixed cost (spawn
+#                  worker-pool startup) that dominated smaller cohorts
 E2E_THREADS = 2
 
 

@@ -368,6 +368,50 @@ def test_predictor_greedy_bucket_remainder():
         np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
 
 
+def test_predictor_compact_transfer_equality():
+    """Compact transfer (ship feature rows, build windows on device via
+    shifted slices, discard unrequested centers) must match the
+    window-transfer path exactly — contiguous AND scattered (targetOnly
+    -style) centers, sizes straddling bucket boundaries."""
+    import jax
+    import numpy as np
+
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(5), config)
+    kw = dict(buckets=(64, 256), data_parallel=False)
+    for use_pallas in (False, True):
+        ref = WindowPredictor(
+            params, config, use_pallas=use_pallas,
+            compact_transfer=False, **kw,
+        )
+        cmp = WindowPredictor(
+            params, config, use_pallas=use_pallas,
+            compact_transfer=True, **kw,
+        )
+        assert cmp.compact_transfer
+        rng = np.random.default_rng(3)
+        for n_rows, mode in ((80, "all"), (300, "all"), (700, "scatter"),
+                             (1200, "sparse")):
+            feats = rng.standard_normal((n_rows, 7)).astype(np.float32)
+            lo, hi = 10, n_rows - 11
+            if mode == "all":
+                centers = np.arange(lo, hi, dtype=np.int64)
+            elif mode == "scatter":
+                centers = np.arange(lo, hi, 4, dtype=np.int64)
+            else:  # sparse with large gaps (stresses chunk advance)
+                centers = np.unique(
+                    rng.integers(lo, hi, size=37).astype(np.int64)
+                )
+            want = ref.predict_from_features(feats, centers)
+            got = cmp.predict_from_features(feats, centers)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"pallas={use_pallas} {n_rows} {mode}"
+            )
+
+
 def test_predictor_bounded_waste_schedule():
     """The bucket descent stops once the remainder's covering bucket pads
     with bounded waste, instead of descending through every level (each
