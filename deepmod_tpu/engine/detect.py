@@ -339,6 +339,11 @@ class WindowPredictor:
         see docs/Validation.md (round 3)."""
         n = len(centers)
         half = window // 2
+        # the chunk advance below assumes ascending centers (the engine
+        # always concatenates per-read blocks in order); one cheap pass
+        # guards the public API against silent wrong answers
+        if n > 1 and not np.all(np.diff(centers) >= 0):
+            raise ValueError("compact transfer requires ascending centers")
         dt = self._transfer_dtype()
         if features.dtype != dt:
             features = features.astype(dt)
