@@ -189,41 +189,81 @@ class WindowPredictor:
                     precision=self.precision,
                 )
             )
+        self._data_parallel = data_parallel and n_dev > 1
         if compact_transfer is None:
             # ship compact (rows, fnum) feature blocks and build the
-            # sliding windows ON DEVICE (21 shifted slices): 21x fewer
-            # host->device bytes for bit-identical predictions. Default
-            # on the chip (single-device path); the multi-device window
-            # path keeps explicit batch sharding (a sharded shifted-slice
-            # build would need halo exchanges inside shard_map).
-            compact_transfer = (
-                jax.default_backend() == "tpu" and not (
-                    data_parallel and n_dev > 1
-                )
-            )
-        self.compact_transfer = compact_transfer and not (
-            data_parallel and n_dev > 1
-        )
+            # sliding windows ON DEVICE (21 shifted copies): 21x fewer
+            # host->device bytes for bit-identical predictions
+            compact_transfer = jax.default_backend() == "tpu"
+        self.compact_transfer = bool(compact_transfer)
         self._compact_fn = None
 
     def _get_compact_fn(self):
+        """Jitted (rows, F) -> (rows,) predictions.
+
+        Window i = feature rows i..i+T-1 via jnp.roll shifts (the last
+        T-1 windows wrap around — garbage, but valid centers never map
+        there and the host discards them). Roll keeps the row count
+        unchanged, so on a multi-device mesh the build runs under plain
+        SPMD with feats sharded over 'data' — XLA inserts the halo
+        collective-permutes — and the shard_map'd Pallas kernel consumes
+        the already-built windows per shard."""
         if self._compact_fn is None:
             T = self.config.timesteps
 
-            def _pred_compact(p, feats):
-                rows = feats.shape[0]
-                # (rows-T+1, T, F): window i = feature rows i..i+T-1.
-                # Shifted contiguous slices — no gather; XLA fuses the
-                # stack into the kernel's input copy
-                win = jnp.stack(
-                    [feats[t : rows - T + 1 + t] for t in range(T)], axis=1
-                )
-                return bilstm_predict(
-                    p, win, self.config,
-                    use_pallas=self.use_pallas, precision=self.precision,
+            # multi-device build: jnp.roll keeps the row count unchanged
+            # (divisible by the mesh), so the build runs under plain SPMD
+            # with halo collective-permutes. Single-device uses shifted
+            # SLICES instead — measured 2.5-3x faster on chip (the roll's
+            # wrap concat defeats fusion into the kernel's input copy).
+            def _windows(feats):
+                return jnp.stack(
+                    [jnp.roll(feats, -t, axis=0) for t in range(T)], axis=1
                 )
 
-            self._compact_fn = jax.jit(_pred_compact)
+            if self._data_parallel:
+                from jax.sharding import (
+                    Mesh, NamedSharding, PartitionSpec as P,
+                )
+
+                mesh = Mesh(np.asarray(jax.devices()), ("data",))
+                replicated = NamedSharding(mesh, P())
+                sharded = NamedSharding(mesh, P("data"))
+
+                def _kernel(p, win):
+                    return bilstm_predict(
+                        p, win, self.config, use_pallas=self.use_pallas,
+                        precision=self.precision,
+                    )
+
+                if self.use_pallas:
+                    _kernel = jax.shard_map(
+                        _kernel, mesh=mesh,
+                        in_specs=(P(), P("data")), out_specs=P("data"),
+                        check_vma=False,
+                    )
+
+                def _pred_compact(p, feats):
+                    return _kernel(p, _windows(feats))
+
+                self._compact_fn = jax.jit(
+                    _pred_compact,
+                    in_shardings=(replicated, sharded),
+                    out_shardings=sharded,
+                )
+            else:
+                def _pred_compact(p, feats):
+                    rows = feats.shape[0]
+                    win = jnp.stack(
+                        [feats[t : rows - T + 1 + t] for t in range(T)],
+                        axis=1,
+                    )
+                    return bilstm_predict(
+                        p, win, self.config,
+                        use_pallas=self.use_pallas, precision=self.precision,
+                    )
+
+                self._compact_fn = jax.jit(_pred_compact)
         return self._compact_fn
 
     def _bucket_for(self, n: int) -> int:

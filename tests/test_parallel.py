@@ -155,6 +155,34 @@ def test_window_predictor_pallas_data_parallel(model):
     np.testing.assert_array_equal(got, want)
 
 
+def test_window_predictor_compact_transfer_data_parallel(model):
+    """Compact transfer on the 8-device mesh: the roll-based window
+    build runs under SPMD (XLA inserts the halo collective-permutes for
+    windows straddling shard boundaries) feeding the shard_map'd kernel;
+    predictions must equal the single-device window-transfer path for
+    both kernel modes."""
+    from deepmod_tpu.engine.detect import WindowPredictor
+
+    config, params, _ = model
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((700, 7)).astype(np.float32)
+    centers = np.arange(10, 689, dtype=np.int64)
+    want = WindowPredictor(
+        params, config, buckets=(64, 256), use_pallas=False,
+        data_parallel=False, compact_transfer=False,
+    ).predict_from_features(feats, centers)
+    for use_pallas in (False, True):
+        pred = WindowPredictor(
+            params, config, buckets=(64, 256), use_pallas=use_pallas,
+            data_parallel=True, compact_transfer=True,
+        )
+        assert pred.compact_transfer and pred._data_parallel
+        got = pred.predict_from_features(feats, centers)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"pallas={use_pallas}"
+        )
+
+
 def test_sharded_predict_pallas(model):
     config, params, x = model
     want = np.asarray(bilstm_predict(params, x, config))
