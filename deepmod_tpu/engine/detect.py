@@ -190,6 +190,7 @@ class WindowPredictor:
                 )
             )
         self._data_parallel = data_parallel and n_dev > 1
+        self._n_dev = n_dev
         if compact_transfer is None:
             # ship compact (rows, fnum) feature blocks and build the
             # sliding windows ON DEVICE (21 shifted copies): 21x fewer
@@ -397,6 +398,13 @@ class WindowPredictor:
                 i, j, idx, preds = inflight.pop(0)
                 out[i:j] = np.asarray(preds)[idx]
 
+        # a row chunk must cover at least one full window or the loop
+        # below cannot advance (a bucket list like (8,) with window 21
+        # would otherwise spin forever); round the floor up to a
+        # multiple of the mesh size so sharded builds stay even
+        min_rows = 1 << int(window).bit_length()
+        if self._data_parallel:
+            min_rows = -(-min_rows // self._n_dev) * self._n_dev
         i = 0
         while i < n:
             row0 = int(centers[i]) - half
@@ -406,6 +414,7 @@ class WindowPredictor:
                 if span >= self.buckets[-1]
                 else self._bucket_for(span)
             )
+            bucket = max(bucket, min_rows)
             # centers computable from rows [row0, row0+bucket):
             # c + half <= row0 + bucket - 1
             j = int(np.searchsorted(centers, row0 + bucket - half, "left"))

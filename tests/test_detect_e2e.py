@@ -411,6 +411,25 @@ def test_predictor_compact_transfer_equality():
                 got, want, err_msg=f"pallas={use_pallas} {n_rows} {mode}"
             )
 
+    # regression: a bucket list smaller than the window (here (8,)) once
+    # made the compact chunk loop advance by zero centers and spin
+    # forever — the min-rows floor must cover a full window
+    tiny = WindowPredictor(
+        params, config, buckets=(8,), use_pallas=False,
+        data_parallel=False, compact_transfer=True,
+    )
+    ref8 = WindowPredictor(
+        params, config, buckets=(8,), use_pallas=False,
+        data_parallel=False, compact_transfer=False,
+    )
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((60, 7)).astype(np.float32)
+    centers = np.arange(10, 50, dtype=np.int64)
+    np.testing.assert_array_equal(
+        tiny.predict_from_features(feats, centers),
+        ref8.predict_from_features(feats, centers),
+    )
+
 
 def test_predictor_bounded_waste_schedule():
     """The bucket descent stops once the remainder's covering bucket pads
