@@ -263,6 +263,7 @@ def child_e2e(out_path: str) -> int:
         _host_options,
         detect_run,
     )
+    from deepmod_tpu.engine.host_pool import HostPool
     from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
     from deepmod_tpu.testing.synthetic import SynthConfig, generate_dataset
 
@@ -310,39 +311,49 @@ def child_e2e(out_path: str) -> int:
         files_per_batch=max(8, n_reads // 5),
         precision="bf16" if on_tpu else "fp32",
     )
+    # ONE persistent HostPool across every pass: warm runs measure steady
+    # state (spawn startup paid once, like serving / repeated library use)
+    pool = HostPool(E2E_THREADS, _host_options(config))
     print("bench e2e: cold pass (compiles)", file=sys.stderr, flush=True)
-    detect_run(
-        dataclasses.replace(
-            config, out_folder=os.path.join(ds, "out_cold")
-        ),
-        predictor,
-    )
-    def warm_pass(tag: str, **overrides):
-        cfg = dataclasses.replace(
-            config, out_folder=os.path.join(ds, f"out_{tag}"), **overrides
+    try:
+        detect_run(
+            dataclasses.replace(
+                config, out_folder=os.path.join(ds, "out_cold")
+            ),
+            predictor, host_pool=pool,
         )
-        t0 = time.perf_counter()
-        res = detect_run(cfg, predictor)
-        dt = time.perf_counter() - t0
-        stages = {
-            k: round(v, 2) for k, v in sorted(res.stage_seconds.items())
-        }
-        print(f"bench e2e: {tag} {dt:.2f}s, stages {stages}",
-              file=sys.stderr, flush=True)
-        return res, dt
 
-    # two warm passes, best wall: tunnel load drifts minute-to-minute
-    result, dt = warm_pass("warm1")
-    res2, dt2 = warm_pass("warm2")
-    if dt2 < dt:
-        result, dt = res2, dt2
-    e2e_rate = result.num_windows / dt
-    # --targetOnly: classify only refbase==Base windows (~4x less device
-    # transfer, BED-identical summaries) — the production mode for
-    # summary-oriented runs, and on this tunneled device the transfer cut
-    # shows the pipeline rate the transfer bound otherwise hides
-    res_t, dt_t = warm_pass("warm_t", target_only=True)
-    target_only_rate = res_t.num_windows / dt_t
+        def warm_pass(tag: str, **overrides):
+            cfg = dataclasses.replace(
+                config, out_folder=os.path.join(ds, f"out_{tag}"),
+                **overrides,
+            )
+            t0 = time.perf_counter()
+            res = detect_run(cfg, predictor, host_pool=pool)
+            dt = time.perf_counter() - t0
+            stages = {
+                k: round(v, 2) for k, v in sorted(res.stage_seconds.items())
+            }
+            print(f"bench e2e: {tag} {dt:.2f}s, stages {stages}",
+                  file=sys.stderr, flush=True)
+            return res, dt
+
+        # two warm passes, best wall: tunnel load drifts minute-to-minute
+        result, dt = warm_pass("warm1")
+        res2, dt2 = warm_pass("warm2")
+        warm_walls = [round(dt, 2), round(dt2, 2)]
+        if dt2 < dt:
+            result, dt = res2, dt2
+        e2e_rate = result.num_windows / dt
+        # --targetOnly under the compact-transfer default classifies
+        # every built row for dense single-base targets (25% density >
+        # the 1/window auto-route threshold), so parity with standard is
+        # the EXPECTED result — recorded to document that compact
+        # transfer superseded the flag's old transfer saving
+        res_t, dt_t = warm_pass("warm_t", target_only=True)
+        target_only_rate = res_t.num_windows / dt_t
+    finally:
+        pool.close()
 
     # same-process host-only rate on the SAME files, one thread: the
     # pipeline's upper bound is host_rate_per_thread * threads
@@ -362,6 +373,7 @@ def child_e2e(out_path: str) -> int:
         "e2e_reads": result.num_reads,
         "e2e_threads": E2E_THREADS,
         "e2e_wall_s": round(dt, 2),
+        "e2e_warm_walls_s": warm_walls,
         "e2e_target_only_windows_per_s": round(target_only_rate, 1),
         "e2e_host_windows_per_s_per_thread": round(host_rate, 1),
         "e2e_vs_host_bound": round(
@@ -374,6 +386,71 @@ def child_e2e(out_path: str) -> int:
             "threads measured same-process (the pipeline's upper bound "
             "when the device is not the bottleneck)"
         ),
+    }
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, out_path)
+    return 0
+
+
+# --------------------------------------------------------------------------
+# train child: fused-VJP training step throughput (the 518 steps/s class
+# of number that until r4 lived only in session logs). Runs LAST: its
+# cold Pallas fwd+bwd compile can take many minutes through the remote
+# compile helper, so it must never eat the kernel/e2e budget.
+
+TRAIN_ITERS = int(os.environ.get("DMT_BENCH_TRAIN_ITERS", 30))
+
+
+def child_train(out_path: str) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+    from deepmod_tpu.train.trainer import make_train_step
+
+    backend = jax.default_backend()
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), config)
+    batch = 2048 if backend == "tpu" else 256
+    use_pallas = backend == "tpu"
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        config, optimizer, unbalanced=False, use_pallas=use_pallas
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 21, 7), jnp.float32)
+    y = jax.nn.one_hot(
+        jax.random.bernoulli(jax.random.PRNGKey(2), 0.5, (batch,)).astype(
+            jnp.int32
+        ),
+        2,
+    )
+    mask = jnp.ones((batch,), jnp.float32)
+    params = jax.device_put(params)
+    opt_state = jax.device_put(opt_state)
+    print("bench train: compiling train step (minutes cold on the remote "
+          "compile helper)", file=sys.stderr, flush=True)
+    params, opt_state, loss = step(params, opt_state, x, y, mask)
+    np.asarray(loss)  # honest sync (block_until_ready lies on this tunnel)
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        params, opt_state, loss = step(params, opt_state, x, y, mask)
+    # the params chain serializes every step; one final transfer syncs
+    np.asarray(loss)
+    dt = time.perf_counter() - t0
+    rate = TRAIN_ITERS / dt
+    print(f"bench train: {rate:,.1f} steps/s at batch {batch} "
+          f"({rate * batch:,.0f} windows/s)", file=sys.stderr, flush=True)
+    rec = {
+        "train_steps_per_s": round(rate, 1),
+        "train_batch": batch,
+        "train_windows_per_s": round(rate * batch, 1),
+        "train_backend": backend,
+        "train_path": "pallas-fused-vjp" if use_pallas else "xla-scan",
     }
     tmp = out_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -436,6 +513,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="dmt_bench_")
     kout = os.path.join(workdir, "kernel.json")
     eout = os.path.join(workdir, "e2e.json")
+    tout = os.path.join(workdir, "train.json")
     errors = []
 
     # If the DRIVER kills this bench (its own timeout), still reap any
@@ -461,11 +539,12 @@ def main() -> None:
                 "last_known_good": LAST_KNOWN_GOOD,
             }
         record["error"] = f"bench terminated by signal {signum}"
-        try:
-            with open(eout) as fh:
-                record.update(json.load(fh))
-        except (OSError, ValueError):
-            pass
+        for partial in (tout, eout):
+            try:
+                with open(partial) as fh:
+                    record.update(json.load(fh))
+            except (OSError, ValueError):
+                pass
         print(json.dumps(record), flush=True)
         os._exit(0)  # "success": the line above IS the degraded record
 
@@ -523,6 +602,15 @@ def main() -> None:
             break
         errors.append("e2e attempt failed (no output)")
 
+    # ---- train bench (last: its cold compile must not eat the budget) -
+    train = None
+    if os.environ.get("DMT_BENCH_SKIP_TRAIN") != "1" and remaining() > 420:
+        train = _run_child(
+            "train", tout, min(2400, remaining() - 60)
+        )
+        if train is None:
+            errors.append("train attempt failed (no output)")
+
     # ---- compose the one JSON line ----------------------------------
     if kernel is None:
         kernel = {
@@ -536,6 +624,8 @@ def main() -> None:
             "last_known_good": LAST_KNOWN_GOOD,
         }
     record = dict(kernel)
+    if train is not None:
+        record.update(train)
     if e2e is not None:
         record.update(e2e)
     else:
@@ -550,7 +640,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--child", choices=["kernel", "e2e"], default=None)
+    ap.add_argument("--child", choices=["kernel", "e2e", "train"],
+                    default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--sweep", choices=["full", "minimal"], default="full")
     cli = ap.parse_args()
@@ -568,5 +659,7 @@ if __name__ == "__main__":
         sys.exit(child_kernel(cli.out, cli.sweep))
     elif cli.child == "e2e":
         sys.exit(child_e2e(cli.out))
+    elif cli.child == "train":
+        sys.exit(child_train(cli.out))
     else:
         main()

@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 
 from deepmod_tpu.aggregate.summarize import CountsMap, write_bed
-from deepmod_tpu.features.builder import FeatureBuildError
+from deepmod_tpu.engine.outputs import (
+    OutputOptions,
+    build_batch_request,
+    scatter_selected_preds,
+    write_batch_outputs,
+)
 from deepmod_tpu.models.bilstm import BiLSTMConfig, bilstm_predict
 from deepmod_tpu.models.tf_import import load_model
 from deepmod_tpu.utils import ErrorCensus
@@ -92,10 +97,16 @@ class DetectConfig:
     # (and engine-tested byte-identical) for real multi-chip meshes
     # where per-batch merges ride ICI instead of host memory.
     device_aggregation: bool = False
-    # classify only windows whose reference base IS the target (~4x less
-    # device work/transfer; BED-identical since summaries count only
-    # refbase==Base rows, but per-read files carry mod_pred 0 where the
-    # reference stores model outputs for non-target rows)
+    # classify only windows whose reference base IS the target
+    # (BED-identical since summaries count only refbase==Base rows, but
+    # per-read files carry mod_pred 0 where the reference stores model
+    # outputs for non-target rows). Under the compact-transfer default
+    # the predictor still ships/classifies every built row when the
+    # selection is DENSE (any single-base target, ~25% density — measured
+    # parity with the standard mode, BENCH_r03/r04), and auto-routes to
+    # window transfer when the selection is sparse enough (<1/window
+    # density) that shipping materialized windows moves fewer bytes AND
+    # less compute — see WindowPredictor.predict_from_features.
     target_only: bool = False
     # replicate the reference detect path's swapped minus-strand trim
     # accounting, which drops firstmatch!=tail '-' reads as 'Error Does
@@ -103,6 +114,9 @@ class DetectConfig:
     # keeps them with self-consistent windows — more coverage, and the
     # accounting the reference's own getfeatures variant uses
     strict_ref_clips: bool = True
+    # predetail gzip level (schema pinned, level not observable downstream
+    # — outputs.OutputOptions for the measurement)
+    predetail_gzip: int = 1
 
 
 @dataclasses.dataclass
@@ -354,7 +368,15 @@ class WindowPredictor:
         n = len(centers)
         if n == 0:
             return np.empty(0, np.int8)
-        if self.compact_transfer:
+        # SPARSE selections (region-restricted or motif-style targets):
+        # the compact path ships every feature row its chunks span and
+        # classifies a window per row, so once n*window < rows the
+        # materialized-window path moves fewer bytes AND runs fewer
+        # windows — route there (density threshold 1/window ~= 4.8%).
+        # Dense targetOnly selections (any single base, ~25%) stay on the
+        # compact path, where shipping each row once beats shipping 21x
+        # overlapping windows.
+        if self.compact_transfer and n * window >= len(features):
             return self._predict_compact(features, centers, window)
         half = window // 2
         view = np.lib.stride_tricks.sliding_window_view(features, window, axis=0)
@@ -382,9 +404,21 @@ class WindowPredictor:
         half = window // 2
         # the chunk advance below assumes ascending centers (the engine
         # always concatenates per-read blocks in order); one cheap pass
-        # guards the public API against silent wrong answers
+        # guards the public API against silent wrong answers. The bounds
+        # check guards the same class of bug: a center within half a
+        # window of either end would classify zero-padded garbage (or,
+        # for a negative row0, silently slice rows from the array END) —
+        # the engine's per-read +-100 pads make this unreachable from
+        # detect, but the guard protects library callers.
         if n > 1 and not np.all(np.diff(centers) >= 0):
             raise ValueError("compact transfer requires ascending centers")
+        if int(centers[0]) < half or int(centers[-1]) + half >= len(features):
+            raise ValueError(
+                "compact transfer requires a full window inside features "
+                f"for every center (first={int(centers[0])}, "
+                f"last={int(centers[-1])}, rows={len(features)}, "
+                f"window={window})"
+            )
         dt = self._transfer_dtype()
         if features.dtype != dt:
             features = features.astype(dt)
@@ -442,50 +476,6 @@ def discover_fast5(wrk_base: str, recursive: bool = True) -> List[str]:
     return files
 
 
-def _save_predetail(
-    fh,  # open h5py.File (one per batch — opening per read costs ~1ms each)
-    pred_key: str,
-    item,  # HostReadResult
-    pred_mod_num: int,
-) -> None:
-    """Per-read prediction HDF5, format-identical to myDetect.py:716-760."""
-    bm = item.base_map
-    base_group = fh["pred"] if "pred" in fh else fh.create_group("pred")
-    if pred_key in base_group:
-        del base_group[pred_key]
-    group = base_group.create_group(pred_key)
-    group.attrs["mapped_chr"] = item.rname
-    group.attrs["mapped_strand"] = item.strand
-    group.attrs["mapped_start"] = (
-        bm["refbasei"][0] if item.strand == "+" else bm["refbasei"][-1]
-    )
-    group.attrs["mapped_end"] = (
-        bm["refbasei"][-1] if item.strand == "+" else bm["refbasei"][0]
-    )
-    group.attrs["clipped_bases_start"] = (
-        item.left_clip if item.strand == "+" else item.right_clip
-    )
-    group.attrs["clipped_bases_end"] = (
-        item.right_clip if item.strand == "+" else item.left_clip
-    )
-    group.attrs["num_insertions"] = item.num_insert
-    group.attrs["num_deletions"] = item.num_del
-    group.attrs["num_matches"] = item.num_match
-    group.attrs["num_mismatches"] = item.num_mismatch
-    group.attrs["pred_mod_num"] = pred_mod_num
-    group.attrs["f5file"] = item.path
-    group.attrs["readk"] = item.read_id
-    as_s1 = np.empty(
-        len(bm),
-        dtype=[("refbase", "S1"), ("readbase", "S1"),
-               ("refbasei", np.uint64), ("readbasei", np.uint64),
-               ("mod_pred", np.int64)],
-    )
-    for field in ("refbase", "readbase", "refbasei", "readbasei", "mod_pred"):
-        as_s1[field] = bm[field]
-    group.create_dataset("predetail", data=as_s1, compression="gzip")
-
-
 def _host_options(config: DetectConfig):
     from .host_worker import HostOptions
 
@@ -529,41 +519,13 @@ def predict_batch_windows(
     (where the reference stores their model outputs)."""
     stage = _nullstage(timer)
     with stage("device_inference"):
-        # concatenate compact feature blocks; window centers are absolute
-        # rows (pad + i within each block)
-        pad = 100
-        blocks = [r.features for r in results]
-        all_features = np.concatenate(blocks, axis=0)
-        selections = []  # per read: event indices to classify
-        centers = []
-        offset = 0
-        n_total = 0
-        for r in results:
-            if target_base is None:
-                idx = np.arange(r.n_aligned, dtype=np.int64)
-            else:
-                nongap = r.base_map["readbase"] != "-"
-                idx = np.flatnonzero(
-                    (r.base_map["refbase"] == target_base)[nongap]
-                )
-            selections.append(idx)
-            centers.append(offset + pad + idx)
-            offset += len(r.features)
-            n_total += r.n_aligned
-        all_centers = np.concatenate(centers)
+        all_features, all_centers, selections, n_total = build_batch_request(
+            results, target_base
+        )
         preds_sel = predictor.predict_from_features(
             all_features, all_centers, window=predictor.config.timesteps
         )
-        if target_base is None:
-            return preds_sel
-        # scatter back to the all-events layout apply_batch_outputs expects
-        preds = np.zeros(n_total, np.int8)
-        out_off = sel_off = 0
-        for r, idx in zip(results, selections):
-            preds[out_off + idx] = preds_sel[sel_off : sel_off + len(idx)]
-            out_off += r.n_aligned
-            sel_off += len(idx)
-        return preds
+        return scatter_selected_preds(results, selections, preds_sel, n_total)
 
 
 def consume_host_results(
@@ -603,106 +565,101 @@ def apply_batch_outputs(
     """The OUTPUT part of one batch: prediction scatter, per-read HDF5,
     count accumulation. Runs off the device thread (the pipelined detect
     paths overlap it with the next batch's inference); mutates ``counts``,
-    so at most one thread may run it at a time."""
-    from deepmod_tpu.aggregate.summarize import PositionCounts
-
+    so at most one thread may run it at a time. The per-read loop lives
+    in outputs.write_batch_outputs (shared with HostPool workers)."""
     stage = _nullstage(timer)
-    use_device_agg = config.device_aggregation and jax.device_count() > 1
-    batch_obs: Dict[Tuple[str, str], list] = {}
     if not results:
         return 0, 0, []
-    index_entries: List[List[str]] = []
-    pred_file = os.path.join(ct_folder, f"rnn.pred.detail.fast5.{batch_id}")
-    offset = 0
-    outputs_ctx = stage("outputs_and_aggregation")
-    outputs_ctx.__enter__()
-    # one HDF5 open per batch (a per-read open/close costs ~1 ms each)
-    pred_fh = None
-    if config.write_per_read:
-        import h5py
+    use_device_agg = config.device_aggregation and jax.device_count() > 1
+    batch_obs: Dict[Tuple[str, str], list] = {}
 
-        pred_fh = h5py.File(pred_file, "a")
-    try:
-        for readk_ind, item in enumerate(results):
-            n_aligned = item.n_aligned
-            p = preds[offset : offset + n_aligned]
-            offset += n_aligned
-            # scatter onto non-gap base-map rows (mPredict1,
-            # myDetect.py:823-833)
-            nongap = np.flatnonzero(item.base_map["readbase"] != "-")
-            if len(nongap) != n_aligned:
-                raise FeatureBuildError("Error Does not match")
-            hits = nongap[p == 1]
-            item.base_map["mod_pred"][hits] = 1
-            pred_mod_num = int(len(hits))
-            if config.mod_cluster:
-                from .summarize import apply_mod_cluster_rescue
+    def collect_for_device(key, item) -> bool:
+        # defer cov/mod to ONE device reduction per key per batch; `seen`
+        # (a boolean, no addition) is set host-side immediately
+        if not counts[key].dense:
+            return False
+        bm = item.base_map
+        is_target = bm["refbase"] == config.base
+        counts[key].seen[bm["refbasei"][is_target].astype(np.int64)] = True
+        sel = is_target & (bm["readbase"] != "-")
+        pos = bm["refbasei"][sel].astype(np.int64)
+        batch_obs.setdefault(key, []).append(
+            (pos, (bm["mod_pred"][sel] == 1).astype(np.int64))
+        )
+        return True
 
-                apply_mod_cluster_rescue(item.base_map)
-            # accumulate counts (sum_handler rules)
-            key = (item.rname, item.strand)
-            if key not in counts:
-                counts[key] = PositionCounts.zeros(item.chrom_length)
-            if use_device_agg and counts[key].dense:
-                bm = item.base_map
-                is_target = bm["refbase"] == config.base
-                counts[key].seen[
-                    bm["refbasei"][is_target].astype(np.int64)
-                ] = True
-                sel = is_target & (bm["readbase"] != "-")
-                pos = bm["refbasei"][sel].astype(np.int64)
-                batch_obs.setdefault(key, []).append(
-                    (pos, (bm["mod_pred"][sel] == 1).astype(np.int64))
-                )
-            else:
-                counts[key].add_base_map(item.base_map, config.base)
-
-            if config.write_per_read:
-                pred_key = f"pred_{readk_ind}"
-                _save_predetail(pred_fh, pred_key, item, pred_mod_num)
-                rel_f5 = os.path.relpath(item.path, config.wrk_base)
-                rel_pred = os.path.relpath(
-                    pred_file, os.path.join(config.out_folder, config.file_id)
-                )
-                index_entries.append(
-                    [item.rname, item.strand, str(item.pos0), pred_key,
-                     rel_f5, rel_pred]
-                )
-    finally:
-        if pred_fh is not None:
-            pred_fh.close()
-    outputs_ctx.__exit__(None, None, None)
+    with stage("outputs_and_aggregation"):
+        n_reads, n_windows, index_entries = write_batch_outputs(
+            results, preds, _output_options(config), counts,
+            batch_id, ct_folder,
+            collect=collect_for_device if use_device_agg else None,
+        )
     if batch_obs:
-        # ONE device reduction per (chr, strand) for the whole batch:
-        # scatter-add per shard + psum over the mesh (parallel.aggregation).
-        # LOCAL devices only: under a multi-process jax.distributed runtime
-        # each process reduces its own batches independently (batch counts
-        # differ per process, so a global collective here would deadlock);
-        # the end-of-run cross-process merge (parallel.cross_process)
-        # combines the per-process results.
-        from jax.sharding import Mesh
-
-        from deepmod_tpu.parallel.aggregation import sharded_position_counts
-
-        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
-        n_dev = mesh.devices.size
         with stage("device_aggregation"):
             for key, obs in batch_obs.items():
                 pos = np.concatenate([o[0] for o in obs])
                 mod = np.concatenate([o[1] for o in obs])
-                pad = (-len(pos)) % n_dev
-                if pad:
-                    pos = np.concatenate([pos, np.zeros(pad, np.int64)])
-                    mod = np.concatenate([mod, np.zeros(pad, np.int64)])
-                covered = np.ones(len(pos), np.int64)
-                if pad:
-                    covered[-pad:] = 0
-                cov_vec, mod_vec = sharded_position_counts(
-                    mesh, pos, covered, mod, counts[key].length
-                )
-                counts[key].coverage += np.asarray(cov_vec)
-                counts[key].mod_count += np.asarray(mod_vec)
-    return len(results), int(offset), index_entries
+                _device_accumulate(counts[key], pos,
+                                   np.ones(len(pos), np.int64), mod)
+    return n_reads, n_windows, index_entries
+
+
+def _output_options(config: DetectConfig) -> OutputOptions:
+    return OutputOptions(
+        wrk_base=config.wrk_base,
+        out_base=os.path.join(config.out_folder, config.file_id),
+        base=config.base,
+        write_per_read=config.write_per_read,
+        mod_cluster=config.mod_cluster,
+        gzip_level=config.predetail_gzip,
+    )
+
+
+def _device_accumulate(pc, pos: np.ndarray, cov: np.ndarray,
+                       mod: np.ndarray) -> None:
+    """One device reduction for a batch's (positions, coverage, mod)
+    observations: scatter-add per shard + psum over the mesh
+    (parallel.aggregation). LOCAL devices only: under a multi-process
+    jax.distributed runtime each process reduces its own batches
+    independently (batch counts differ per process, so a global
+    collective here would deadlock); the end-of-run cross-process merge
+    (parallel.cross_process) combines the per-process results."""
+    from jax.sharding import Mesh
+
+    from deepmod_tpu.parallel.aggregation import sharded_position_counts
+
+    mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+    n_dev = mesh.devices.size
+    pad = (-len(pos)) % n_dev
+    if pad:
+        pos = np.concatenate([pos, np.zeros(pad, np.int64)])
+        mod = np.concatenate([mod, np.zeros(pad, np.int64)])
+        cov = np.concatenate([cov, np.zeros(pad, np.int64)])
+    cov_vec, mod_vec = sharded_position_counts(mesh, pos, cov, mod, pc.length)
+    pc.coverage += np.asarray(cov_vec)
+    pc.mod_count += np.asarray(mod_vec)
+
+
+def _merge_counts_coo(
+    counts: CountsMap, coo, use_device_agg: bool, timer=None
+) -> None:
+    """Fold a worker batch's COO count summary into the engine's counters
+    — the only serialized piece of the output stage under HostPool."""
+    from deepmod_tpu.aggregate.summarize import PositionCounts
+
+    stage = _nullstage(timer)
+    for chrom, strand, length, pos, cov, mod in coo:
+        key = (chrom, strand)
+        if key not in counts:
+            counts[key] = PositionCounts.zeros(length)
+        pc = counts[key]
+        if use_device_agg and pc.dense and len(pos):
+            pc.seen[pos] = True
+            with stage("device_aggregation"):
+                _device_accumulate(pc, pos, cov.astype(np.int64),
+                                   mod.astype(np.int64))
+        else:
+            pc.add_coo(pos, cov, mod)
 
 
 def _write_index_files(
@@ -736,7 +693,9 @@ def _write_index_files(
 
 
 def detect_run(
-    config: DetectConfig, predictor: Optional["WindowPredictor"] = None
+    config: DetectConfig,
+    predictor: Optional["WindowPredictor"] = None,
+    host_pool=None,
 ) -> DetectResult:
     """Full detect: per-read prediction + genomic summaries + BED.
 
@@ -744,19 +703,25 @@ def detect_run(
     an existing run's prediction files (the reference's --predDet 0 path,
     myDetect.py:1230-1263). ``predictor`` reuses an already-warm
     WindowPredictor (compiled buckets, device-resident params) across
-    runs — the serving pattern; it must match the configured model."""
+    runs — the serving pattern; it must match the configured model.
+    ``host_pool`` likewise reuses a warm engine.host_pool.HostPool
+    (spawned workers + loaded aligner index, ~5 s of per-run startup
+    otherwise); its HostOptions must match the config's."""
     if config.trace_dir:
         from deepmod_tpu.utils.profiling import device_trace
 
         with device_trace(config.trace_dir):
             return _detect_run_inner(
-                dataclasses.replace(config, trace_dir=None), predictor
+                dataclasses.replace(config, trace_dir=None), predictor,
+                host_pool,
             )
-    return _detect_run_inner(config, predictor)
+    return _detect_run_inner(config, predictor, host_pool)
 
 
 def _detect_run_inner(
-    config: DetectConfig, predictor: Optional["WindowPredictor"] = None
+    config: DetectConfig,
+    predictor: Optional["WindowPredictor"] = None,
+    host_pool=None,
 ) -> DetectResult:
     start_time = time.time()
     if not config.pred_det:
@@ -856,65 +821,100 @@ def _detect_run_inner(
         return folder
 
     if config.threads > 1 and len(batches) > 1:
-        # host stages in spawn-context workers (they never touch the TPU);
-        # the main process streams results through the device
-        import concurrent.futures as cf
-        import multiprocessing as mp
+        # host stages AND output writes in spawn-context workers (they
+        # never touch the TPU): each worker ingests a batch, ships the
+        # compact feature block up for device classification, receives
+        # the predictions back, and writes ITS batch's predetail HDF5 in
+        # parallel with every other worker (per-batch files — the
+        # reference's own exclusivity guarantee, myDetect.py:714-760).
+        # Only the COO count merge is serialized here. Worker IPC per
+        # batch: compact features up (21x less than windows), int8 preds
+        # down, COO counts + index entries up — base maps never cross.
+        from .host_pool import HostPool
 
-        # spawn children re-import from scratch: make sure they can find
-        # this package even when the parent extended sys.path manually
-        import deepmod_tpu as _pkg
-
-        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
-        existing = os.environ.get("PYTHONPATH", "")
-        if pkg_root not in existing.split(os.pathsep):
-            os.environ["PYTHONPATH"] = (
-                pkg_root + (os.pathsep + existing if existing else "")
+        out_opts = _output_options(config)
+        target_base = config.base if config.target_only else None
+        own_pool = host_pool is None
+        pool = host_pool if host_pool is not None else HostPool(
+            config.threads, host_opts
+        )
+        if pool.host_opts != host_opts:
+            raise ValueError(
+                "host_pool was built with different HostOptions than this "
+                "config resolves to — reuse is only valid across runs over "
+                "the same reference/aligner/feature settings"
             )
-        ctx = mp.get_context("spawn")
-        with cf.ProcessPoolExecutor(
-            max_workers=config.threads,
-            mp_context=ctx,
-            initializer=init_worker,
-            initargs=(host_opts,),
-        ) as pool, cf.ThreadPoolExecutor(max_workers=1) as writer:
-            futures = {
-                pool.submit(host_process_files, batch): batch_id
-                for batch_id, batch in enumerate(batches)
-                if batch
-            }
-            # outputs (scatter + gzip'd HDF5 + count accumulation) run in
-            # ONE writer thread so the main thread keeps the device fed;
-            # the single worker serializes all `counts` mutation
-            for fut in cf.as_completed(futures):
-                batch_id = futures[fut]
-                try:
-                    results, batch_errors = fut.result()
-                except Exception as exc:  # a dead worker batch never kills
-                    errors.add(                # the run (reference behavior)
-                        f"Batch worker failed: {type(exc).__name__}",
+        from collections import deque
+
+        todo = deque(
+            (batch_id, batch)
+            for batch_id, batch in enumerate(batches) if batch
+        )
+        outstanding = 0
+        try:
+            while todo or outstanding:
+                # keep every live worker ~2 batches deep: one being
+                # ingested, one awaiting preds/writing outputs
+                while todo:
+                    load = pool.min_load()
+                    if load is None:  # every worker died: fail the rest
+                        while todo:
+                            batch_id, _ = todo.popleft()
+                            errors.add(
+                                "Batch worker failed: WorkerDied",
+                                f"batch_{batch_id}",
+                            )
+                        break
+                    if load >= 2:
+                        break
+                    batch_id, batch = todo.popleft()
+                    pool.submit_ingest(
+                        batch_id, batch, ct_folder_for(batch_id),
+                        out_opts, target_base,
+                    )
+                    outstanding += 1
+                if not outstanding:
+                    continue
+                msg = pool.next_message()
+                kind = msg[0]
+                if kind == "features":
+                    _, wid, batch_id, feats, centers, batch_errors = msg
+                    for ekind, paths in batch_errors.items():
+                        errors.extend(ekind, paths)
+                    with timer.stage("device_inference"):
+                        preds_sel = predictor.predict_from_features(
+                            feats, centers,
+                            window=predictor.config.timesteps,
+                        )
+                    pool.send_preds(wid, batch_id, preds_sel)
+                elif kind == "outputs":
+                    (_, wid, batch_id, n_r, n_w, idx, coo, secs,
+                     batch_errors) = msg
+                    for ekind, paths in batch_errors.items():
+                        errors.extend(ekind, paths)
+                    n_reads += n_r
+                    n_windows += n_w
+                    all_index.extend(idx)
+                    if secs:
+                        timer.add("outputs_in_workers", secs)
+                    with timer.stage("counts_merge"):
+                        _merge_counts_coo(
+                            counts, coo,
+                            config.device_aggregation
+                            and jax.device_count() > 1,
+                            timer,
+                        )
+                    outstanding -= 1
+                elif kind == "error":
+                    _, wid, batch_id, phase, message = msg
+                    errors.add(
+                        f"Batch worker failed: {message.split(':')[0]}",
                         f"batch_{batch_id}",
                     )
-                    continue
-                for kind, paths in batch_errors.items():
-                    errors.extend(kind, paths)
-                if not results:
-                    continue
-                preds = predict_batch_windows(
-                    results, predictor, timer,
-                    target_base=config.base if config.target_only else None,
-                )
-                for r in results:
-                    r.features = None  # outputs never read them; frees
-                                       # the batch's largest allocation
-                out_futs.append(
-                    writer.submit(
-                        apply_batch_outputs, results, preds, config, counts,
-                        batch_id, ct_folder_for(batch_id), timer,
-                    )
-                )
-                drain_outputs(2)  # bound the writer backlog
-            drain_outputs(0)
+                    outstanding -= 1
+        finally:
+            if own_pool:
+                pool.close()
     else:
         # single-process path still overlaps: a prefetch thread prepares
         # the NEXT batch's host work while the device consumes the current

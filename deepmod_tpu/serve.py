@@ -31,7 +31,8 @@ class DetectService:
 
     def __init__(self, ref: str, model_path: str, base: str = "C",
                  align_str: str = "builtin", fnum: int = 7,
-                 window_size: int = 21, precision: str = "bf16"):
+                 window_size: int = 21, precision: str = "bf16",
+                 threads: int = 1):
         import jax
 
         from deepmod_tpu.engine.detect import WindowPredictor
@@ -57,13 +58,54 @@ class DetectService:
             signal_group="simple", move=False,
         )
         init_worker(self._host_opts)  # builds reference + aligner index
+        # threads>1: a persistent HostPool parallelizes the host stages of
+        # each request across warm spawn workers (aligner index loaded
+        # once per worker at pool build, not per request)
+        self._pool = None
+        if threads > 1:
+            from deepmod_tpu.engine.host_pool import HostPool
+
+            self._pool = HostPool(threads, self._host_opts)
         self._lock = threading.Lock()
 
-    def detect(self, fast5_paths):
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def _host_stage(self, paths):
+        """Ingest+align+featurize, through the pool when one exists."""
         from deepmod_tpu.engine.host_worker import host_process_files
 
+        if self._pool is None:
+            return host_process_files(paths)
+        n = min(len(self._pool._procs), max(1, len(paths)))
+        chunks = [paths[i::n] for i in range(n)]
+        for bid, chunk in enumerate(chunks):
+            self._pool.submit_ingest_return(bid, chunk)
+        by_bid = {}
+        merged_errors: dict = {}
+        pending = len(chunks)
+        while pending:
+            msg = self._pool.next_message()
+            if msg[0] == "results":
+                _, wid, bid, results, errors = msg
+                by_bid[bid] = results
+                for k, v in errors.items():
+                    merged_errors.setdefault(k, []).extend(v)
+                pending -= 1
+            elif msg[0] == "error":
+                _, wid, bid, phase, message = msg
+                merged_errors.setdefault(
+                    f"Batch worker failed: {message.split(':')[0]}", []
+                ).append(f"batch_{bid}")
+                pending -= 1
+        results = [r for bid in sorted(by_bid) for r in by_bid[bid]]
+        return results, merged_errors
+
+    def detect(self, fast5_paths):
         with self._lock:
-            results, errors = host_process_files(list(fast5_paths))
+            results, errors = self._host_stage(list(fast5_paths))
             reads_out = []
             positions = {}
             if results:
@@ -152,11 +194,12 @@ def make_handler(service: DetectService):
 
 def serve(ref: str, model_path: str, port: int = 8765, host: str = "127.0.0.1",
           base: str = "C", align_str: str = "builtin",
-          precision: str = "bf16") -> ThreadingHTTPServer:
+          precision: str = "bf16", threads: int = 1) -> ThreadingHTTPServer:
     """Build the warm service and return a ready (unstarted) HTTP server."""
     service = DetectService(ref, model_path, base=base, align_str=align_str,
-                            precision=precision)
+                            precision=precision, threads=threads)
     server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.dmt_service = service  # so callers can close() the host pool
     return server
 
 
@@ -172,9 +215,12 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("--alignStr", default="builtin")
     parser.add_argument("--precision", default="bf16",
                         choices=["fp32", "bf16"])
+    parser.add_argument("--threads", type=int, default=1,
+                        help="host-stage workers (persistent HostPool)")
     args = parser.parse_args(argv)
     server = serve(args.Ref, args.modfile, args.port, args.host, args.Base,
-                   args.alignStr, precision=args.precision)
+                   args.alignStr, precision=args.precision,
+                   threads=args.threads)
     print(f"deepmod_tpu serving on {args.host}:{args.port}", flush=True)
     server.serve_forever()
     return 0

@@ -65,14 +65,31 @@ def run_cluster(nproc: int, dataset: str, workdir: str, timeout: int):
         )
         for p in range(nproc)
     ]
+    # one shared deadline for the WHOLE cluster; on any failure kill every
+    # worker (a surviving process blocked in the collective would hold the
+    # coordinator port and skew later same-VM measurements)
+    deadline = t0 + timeout
     logs = []
-    for proc in procs:
-        stdout, _ = proc.communicate(timeout=timeout)
-        logs.append(stdout.decode(errors="replace"))
-    wall = time.perf_counter() - t0
-    for proc, log in zip(procs, logs):
-        if proc.returncode != 0:
-            raise RuntimeError(f"worker failed (n={nproc}):\n{log[-3000:]}")
+    try:
+        for proc in procs:
+            stdout, _ = proc.communicate(
+                timeout=max(1.0, deadline - time.perf_counter())
+            )
+            logs.append(stdout.decode(errors="replace"))
+        wall = time.perf_counter() - t0
+        for proc, log in zip(procs, logs):
+            if proc.returncode != 0:
+                raise RuntimeError(f"worker failed (n={nproc}):\n{log[-3000:]}")
+    except BaseException:
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+        for proc in procs:
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+        raise
     recs = [json.load(open(o)) for o in outs]
     reads = sum(r["num_reads"] for r in recs)
     windows = sum(r["num_windows"] for r in recs)

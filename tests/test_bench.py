@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
@@ -35,6 +37,7 @@ def test_bench_parent_emits_one_json_line_on_success():
         "DMT_BENCH_ITERS": "2",
         "DMT_BENCH_CPU_BATCH": "256",
         "DMT_BENCH_SKIP_E2E": "1",
+        "DMT_BENCH_SKIP_TRAIN": "1",  # exercised by test_bench_train_child
         "DMT_BENCH_BUDGET_S": "500",
     })
     assert record["metric"] == "bilstm_windows_per_s"
@@ -62,3 +65,28 @@ def test_bench_parent_emits_degraded_json_when_children_die():
     assert record["value"] == 0
     assert record["error"]
     assert record["last_known_good"]["value"] > 0
+
+
+def test_bench_train_child(tmp_path):
+    """--child train writes the driver-attested training-throughput
+    fields (steps/s, batch, path) the round artifact carries."""
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    env.update({
+        "DMT_BENCH_PLATFORM": "cpu",
+        "DMT_BENCH_TRAIN_ITERS": "2",
+    })
+    out = str(tmp_path / "train.json")
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--child", "train", "--out", out],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    rec = json.load(open(out))
+    assert rec["train_steps_per_s"] > 0
+    assert rec["train_batch"] == 256  # CPU sizing
+    assert rec["train_path"] == "xla-scan"
+    assert rec["train_windows_per_s"] == pytest.approx(
+        rec["train_steps_per_s"] * rec["train_batch"], rel=0.01
+    )

@@ -464,3 +464,176 @@ def test_predictor_bounded_waste_schedule():
     calls.clear()
     pred.predict(np.zeros((256, 21, 7), np.float32))
     assert calls == [256]
+
+
+def test_host_pool_persistent_across_runs(e2e, tmp_path):
+    """A HostPool passed into detect_run survives and is reused across
+    runs (the warm-predictor pattern for the host side): two runs through
+    ONE pool produce byte-identical BEDs, and the pool's workers are the
+    same processes both times."""
+    import dataclasses
+
+    from deepmod_tpu.engine.detect import _host_options
+    from deepmod_tpu.engine.host_pool import HostPool
+
+    out, genome, reads, det, result = e2e
+    cfg1 = dataclasses.replace(
+        det, out_folder=str(tmp_path / "pool1"), threads=2,
+        files_per_batch=3,
+    )
+    pool = HostPool(2, _host_options(cfg1))
+    try:
+        r1 = detect_run(cfg1, host_pool=pool)
+        pids = [p.pid for p in pool._procs]
+        cfg2 = dataclasses.replace(cfg1, out_folder=str(tmp_path / "pool2"))
+        r2 = detect_run(cfg2, host_pool=pool)
+        assert [p.pid for p in pool._procs] == pids
+        assert all(p.is_alive() for p in pool._procs)
+    finally:
+        pool.close()
+    assert r1.num_reads == r2.num_reads == result.num_reads
+    assert r1.num_windows == r2.num_windows == result.num_windows
+    for b0, b1, b2 in zip(sorted(result.bed_files), sorted(r1.bed_files),
+                          sorted(r2.bed_files)):
+        assert open(b0).read() == open(b1).read() == open(b2).read()
+
+
+def test_host_pool_rejects_mismatched_options(e2e, tmp_path):
+    import dataclasses
+
+    from deepmod_tpu.engine.detect import _host_options
+    from deepmod_tpu.engine.host_pool import HostPool
+
+    out, genome, reads, det, result = e2e
+    cfg = dataclasses.replace(
+        det, out_folder=str(tmp_path / "mism"), threads=2, files_per_batch=3,
+    )
+    other = dataclasses.replace(cfg, fnum=57)
+    pool = HostPool(1, _host_options(other))
+    try:
+        with pytest.raises(ValueError, match="different HostOptions"):
+            detect_run(cfg, host_pool=pool)
+    finally:
+        pool.close()
+
+
+def test_pooled_target_only_and_device_agg_match(e2e, tmp_path):
+    """threads>1 (worker-side outputs + COO merge) under targetOnly and
+    under device aggregation both reproduce the baseline BEDs."""
+    import dataclasses
+
+    out, genome, reads, det, result = e2e
+    for tag, overrides in (
+        ("t_only", dict(target_only=True)),
+        ("dev_agg", dict(device_aggregation=True)),
+        ("cluster", dict(mod_cluster=True)),
+    ):
+        cfg = dataclasses.replace(
+            det, out_folder=str(tmp_path / tag), threads=2,
+            files_per_batch=3, **overrides,
+        )
+        res = detect_run(cfg)
+        assert res.num_reads == result.num_reads, (tag, res.errors)
+        if tag == "cluster":
+            # rescue can only flip counts upward; BED row sets must match
+            assert len(res.bed_files) == len(result.bed_files)
+            continue
+        for b1, b2 in zip(sorted(result.bed_files), sorted(res.bed_files)):
+            assert open(b1).read() == open(b2).read(), tag
+
+
+def test_host_pool_worker_death_is_survivable(e2e, tmp_path):
+    """A worker dying mid-run surfaces as a batch error; surviving
+    workers complete the rest of the run."""
+    import dataclasses
+    import os as _os
+    import signal as _signal
+    import time as _time
+
+    from deepmod_tpu.engine.detect import _host_options
+    from deepmod_tpu.engine.host_pool import HostPool
+
+    out, genome, reads, det, result = e2e
+    cfg = dataclasses.replace(
+        det, out_folder=str(tmp_path / "death"), threads=2,
+        files_per_batch=2,
+    )
+    pool = HostPool(2, _host_options(cfg))
+    try:
+        # kill one worker before the run: its queued batches fail over
+        _os.kill(pool._procs[0].pid, _signal.SIGKILL)
+        _time.sleep(0.2)
+        res = detect_run(cfg, host_pool=pool)
+    finally:
+        pool.close()
+    # every read still processed (dead worker never got a batch) OR the
+    # lost batches are recorded in the census — either way the run ends
+    total_failed = sum(
+        len(v) for k, v in res.errors.items()
+        if k.startswith("Batch worker failed")
+    )
+    assert res.num_reads + 10 * total_failed >= result.num_reads
+    assert res.num_reads > 0
+
+
+def test_compact_transfer_bounds_guard():
+    """Centers without a full window inside the feature block must raise,
+    not classify zero-padded garbage (or wrap negative rows)."""
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(5), config)
+    pred = WindowPredictor(
+        params, config, buckets=(64,), use_pallas=False,
+        data_parallel=False, compact_transfer=True,
+    )
+    feats = np.zeros((50, 7), np.float32)
+    with pytest.raises(ValueError, match="full window"):
+        pred.predict_from_features(
+            feats, np.arange(5, 45, dtype=np.int64)  # center 5 < half 10
+        )
+    with pytest.raises(ValueError, match="full window"):
+        pred.predict_from_features(
+            feats, np.arange(10, 45, dtype=np.int64)  # 44 + 10 >= 50
+        )
+
+
+def test_sparse_selection_routes_to_window_transfer():
+    """Below 1/window density the predictor must take the materialized-
+    window path (fewer bytes AND fewer windows than compact chunks)."""
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(5), config)
+    pred = WindowPredictor(
+        params, config, buckets=(64, 256), use_pallas=False,
+        data_parallel=False, compact_transfer=True,
+    )
+    calls = {"compact": 0, "window": 0}
+    real_compact, real_window = pred._predict_compact, pred.predict
+
+    def spy_compact(*a, **kw):
+        calls["compact"] += 1
+        return real_compact(*a, **kw)
+
+    def spy_window(*a, **kw):
+        calls["window"] += 1
+        return real_window(*a, **kw)
+
+    pred._predict_compact = spy_compact
+    pred.predict = spy_window
+    feats = np.random.default_rng(0).standard_normal((2100, 7)).astype(
+        np.float32
+    )
+    # sparse: 40 centers over 2100 rows (40*21 = 840 < 2100)
+    pred.predict_from_features(
+        feats, np.linspace(20, 2000, 40).astype(np.int64)
+    )
+    assert calls == {"compact": 0, "window": 1}
+    # dense: every row (n*21 >> rows)
+    pred.predict_from_features(
+        feats, np.arange(10, 2090, dtype=np.int64)
+    )
+    assert calls == {"compact": 1, "window": 1}

@@ -87,3 +87,44 @@ def test_detect_bad_requests(server_setup):
     assert status == 200
     assert body["reads"] == []
     assert body["errors"]
+
+
+def test_detect_with_host_pool(server_setup, tmp_path_factory):
+    """threads>1 routes the host stages through a persistent HostPool;
+    responses must match the in-process path exactly."""
+    from deepmod_tpu.serve import DetectService
+
+    base_url, reads = server_setup
+    # rebuild the same dataset paths from the fixture's reads
+    ref = None
+    for r in reads:
+        d = os.path.dirname(os.path.dirname(r.path))
+        cand = os.path.join(os.path.dirname(d), "ref.fa")
+        if os.path.exists(cand):
+            ref = cand
+            break
+        cand = os.path.join(d, "ref.fa")
+        if os.path.exists(cand):
+            ref = cand
+            break
+    assert ref is not None
+    out = os.path.dirname(ref)
+    model = os.path.join(out, "m.npz")
+    svc1 = DetectService(ref, model, align_str="builtin", precision="fp32")
+    svc2 = DetectService(ref, model, align_str="builtin", precision="fp32",
+                         threads=2)
+    try:
+        paths = [r.path for r in reads]
+        r1 = svc1.detect(paths)
+        r2 = svc2.detect(paths)
+        assert sorted(r1["reads"], key=lambda e: e["read_id"]) == sorted(
+            r2["reads"], key=lambda e: e["read_id"]
+        )
+        assert r1["positions"] == r2["positions"]
+        # second request through the SAME pool (persistence)
+        pids = [p.pid for p in svc2._pool._procs]
+        r3 = svc2.detect(paths[:1])
+        assert [p.pid for p in svc2._pool._procs] == pids
+        assert len(r3["reads"]) == 1
+    finally:
+        svc2.close()
