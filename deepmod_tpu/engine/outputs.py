@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -149,7 +150,17 @@ def save_predetail(
                ("refbasei", np.uint64), ("readbasei", np.uint64),
                ("mod_pred", np.int64)],
     )
-    for field in ("refbase", "readbase", "refbasei", "readbasei", "mod_pred"):
+    for field in ("refbase", "readbase"):
+        col = bm[field]
+        if col.dtype.kind == "U" and sys.byteorder == "little":
+            # U1 is UCS4; for the ASCII alphabet these fields hold, byte 0
+            # IS the char — numpy's elementwise U->S conversion is ~120x
+            # slower and was the largest single cost of the output stage
+            as_s1[field] = np.ascontiguousarray(col).view(
+                np.uint32).astype(np.uint8).view("S1")
+        else:
+            as_s1[field] = col
+    for field in ("refbasei", "readbasei", "mod_pred"):
         as_s1[field] = bm[field]
     group.create_dataset(
         "predetail", data=as_s1, compression="gzip",

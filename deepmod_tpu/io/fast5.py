@@ -148,7 +148,22 @@ def _ingest_read(
     try:
         raw_group = raw_getter(node)
         raw_attributes = dict(raw_group.attrs)
-        raw_signals = np.asarray(raw_group["Signal"][()])
+        try:
+            raw_signals = np.asarray(raw_group["Signal"][()])
+        except OSError:
+            # vbz-compressed signal and no vendor plugin installed: read
+            # the chunks directly and decode with the built-in codec
+            from .vbz import dataset_has_vbz, dataset_vbz_options, read_vbz_dataset
+
+            dset = raw_group["Signal"]
+            if not dataset_has_vbz(dset):
+                raise
+            opts = dataset_vbz_options(dset)
+            raw_signals = read_vbz_dataset(
+                dset, use_delta_zigzag=opts["use_zig_zag"]
+            )
+    except EventError:
+        raise
     except Exception as exc:
         raise EventError("No Raw_reads/Signal") from exc
 

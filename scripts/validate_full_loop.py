@@ -55,6 +55,12 @@ def main() -> None:
     ap.add_argument("--fnum", type=int, default=7, choices=(7, 57),
                     help="57 adds the 50-bin signal histogram features "
                          "(myDetect.py:885-891)")
+    ap.add_argument("--labels", default="motif", choices=("motif", "pos"),
+                    help="'pos' drives the bisulfite-style position-file "
+                         "label path (--motifORPos 2 with fulmod/anymod/"
+                         "nomod files derived from the motif truth, "
+                         "myGetFeatureBasedPos.py:672-698) instead of the "
+                         "motif scan")
     args = ap.parse_args()
     fnum = ["--fnum", str(args.fnum)]
 
@@ -91,16 +97,51 @@ def main() -> None:
     print(f"[synth {time.time()-t_start:.0f}s]", flush=True)
 
     py = [sys.executable, "-m", "deepmod_tpu"]
+    # label-source flags: motif scan (reference usage example) or
+    # bisulfite-style position files derived from the same motif truth
+    if args.labels == "pos":
+        from deepmod_tpu.features.labels import scan_motif
+
+        fulmod_set, candidates = scan_motif(genome, "CG", 0)
+        cg = sorted(fulmod_set.get("chrV", set()))
+        # simulate a bisulfite call set: ~10% of CG sites 'partially
+        # methylated' (anymod — excluded from training both ways), the
+        # rest fulmod; every non-CG target position nomod
+        anymod_rows = [sp for i, sp in enumerate(cg) if i % 10 == 3]
+        fulmod_rows = [sp for i, sp in enumerate(cg) if i % 10 != 3]
+        nomod_rows = sorted(
+            candidates.get("chrV", set()) - fulmod_set.get("chrV", set())
+        )
+        posdir = os.path.join(base, "posfiles")
+        os.makedirs(posdir)
+        for fname, rows in (("fulmod.txt", fulmod_rows),
+                            ("anymod.txt", anymod_rows),
+                            ("nomod.txt", nomod_rows)):
+            with open(os.path.join(posdir, fname), "w") as fh:
+                for strand, pos in rows:
+                    fh.write(f"chrV {strand} {pos}\n")
+        print(f"position files: {len(fulmod_rows)} fulmod, "
+              f"{len(anymod_rows)} anymod, {len(nomod_rows)} nomod",
+              flush=True)
+        label_flags = [
+            "--motifORPos", "2", "--motif", "CG", "--ModinMotif", "0",
+            "--fulmod", os.path.join(posdir, "fulmod.txt"),
+            "--anymod", os.path.join(posdir, "anymod.txt"),
+            "--nomod", os.path.join(posdir, "nomod.txt"),
+        ]
+    else:
+        label_flags = [
+            "--motifORPos", "1", "--motif", "CG", "--ModinMotif", "0",
+        ]
     # 1. features (posneg mirrors the reference usage example)
     for name, posneg in (("train_mod", 1), ("train_ctl", 0)):
         run(py + [
             "getfeatures", "--wrkBase", os.path.join(sets[name], "fast5"),
-            "--Ref", ref, "--motifORPos", "1",
-            "--motif", "CG", "--ModinMotif", "0",
+            "--Ref", ref,
             "--posneg", str(posneg),
             "--outFolder", os.path.join(base, f"feat_{name}"),
             "--FileID", "f", "--threads", str(args.threads),
-        ] + fnum)
+        ] + label_flags + fnum)
 
     # 2. train: 4 plain epochs, then resume class-weighted
     train1 = os.path.join(base, "train1")
@@ -154,6 +195,7 @@ def main() -> None:
             except ValueError:
                 pass
     print(json.dumps({"full_loop_metrics": metrics, "fnum": args.fnum,
+                      "labels": args.labels,
                       "total_s": round(time.time() - t_start, 1)}))
 
 
