@@ -244,8 +244,11 @@ def child_kernel(out_path: str, sweep: str) -> int:
 # for an honest device-vs-host comparison (absolute rates on this shared
 # 2-core VM swing 1.4x between runs; only same-process A/B is meaningful).
 
-E2E_READS = 400  # ~3M windows: amortizes the ~5 s fixed cost (spawn
-#                  worker-pool startup) that dominated smaller cohorts
+E2E_READS = 800  # ~5.8M windows. The old ~5 s spawn startup is gone
+#                  (one persistent HostPool spans all passes); sizing
+#                  now targets remaining per-run fixed costs (glob, BED
+#                  emission, bucket dispatch) < 15% of warm wall so the
+#                  captured rate tracks the 30x-demo steady state
 E2E_THREADS = 2
 
 

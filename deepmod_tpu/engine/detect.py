@@ -850,7 +850,9 @@ def _detect_run_inner(
             (batch_id, batch)
             for batch_id, batch in enumerate(batches) if batch
         )
+        bid_to_batch: Dict[int, int] = {}  # pool bid -> run batch id
         outstanding = 0
+        ok = False
         try:
             while todo or outstanding:
                 # keep every live worker ~2 batches deep: one being
@@ -868,17 +870,18 @@ def _detect_run_inner(
                     if load >= 2:
                         break
                     batch_id, batch = todo.popleft()
-                    pool.submit_ingest(
+                    bid = pool.submit_ingest(
                         batch_id, batch, ct_folder_for(batch_id),
                         out_opts, target_base,
                     )
+                    bid_to_batch[bid] = batch_id
                     outstanding += 1
                 if not outstanding:
                     continue
                 msg = pool.next_message()
                 kind = msg[0]
                 if kind == "features":
-                    _, wid, batch_id, feats, centers, batch_errors = msg
+                    _, wid, bid, feats, centers, batch_errors = msg
                     for ekind, paths in batch_errors.items():
                         errors.extend(ekind, paths)
                     with timer.stage("device_inference"):
@@ -886,9 +889,9 @@ def _detect_run_inner(
                             feats, centers,
                             window=predictor.config.timesteps,
                         )
-                    pool.send_preds(wid, batch_id, preds_sel)
+                    pool.send_preds(wid, bid, preds_sel)
                 elif kind == "outputs":
-                    (_, wid, batch_id, n_r, n_w, idx, coo, secs,
+                    (_, wid, bid, n_r, n_w, idx, coo, secs,
                      batch_errors) = msg
                     for ekind, paths in batch_errors.items():
                         errors.extend(ekind, paths)
@@ -904,17 +907,24 @@ def _detect_run_inner(
                             and jax.device_count() > 1,
                             timer,
                         )
+                    bid_to_batch.pop(bid, None)
                     outstanding -= 1
                 elif kind == "error":
-                    _, wid, batch_id, phase, message = msg
+                    _, wid, bid, phase, message = msg
                     errors.add(
                         f"Batch worker failed: {message.split(':')[0]}",
-                        f"batch_{batch_id}",
+                        f"batch_{bid_to_batch.pop(bid, bid)}",
                     )
                     outstanding -= 1
+            ok = True
         finally:
             if own_pool:
                 pool.close()
+            elif not ok:
+                # a shared pool must come back clean after this run's
+                # exception — drop its in-flight state and stashed
+                # worker batches so the next run schedules freshly
+                pool.abandon_inflight()
     else:
         # single-process path still overlaps: a prefetch thread prepares
         # the NEXT batch's host work while the device consumes the current

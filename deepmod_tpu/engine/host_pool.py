@@ -21,10 +21,15 @@ Protocol (engine <-> worker, over per-worker input queues and one shared
 output queue):
 
   engine -> worker:
-    ("ingest", bid, paths, ct_folder, out_opts, target_base)
+    ("ingest", bid, batch_id, paths, ct_folder, out_opts, target_base)
     ("preds", bid, preds_sel)          # classification result for bid
     ("ingest_return", bid, paths)      # host stages only, ship results
+    ("drop_pending",)                  # abandon stashed batch state
     ("stop",)
+
+``bid`` is POOL-unique and routes messages; ``batch_id`` is the run's
+batch index and only names output files. The split lets a reused pool
+identify (and drop) messages from a previous run that died mid-flight.
   worker -> engine:
     ("features", wid, bid, features, centers, errors)
     ("outputs", wid, bid, n_reads, n_windows, index_entries, coo,
@@ -65,17 +70,21 @@ def _worker_main(wid: int, inq, outq, host_opts: HostOptions) -> None:
         kind = msg[0]
         if kind == "stop":
             break
+        if kind == "drop_pending":
+            pending.clear()
+            continue
         bid = msg[1]
         try:
             if kind == "ingest":
-                _, bid, paths, ct_folder, out_opts, target_base = msg
+                (_, bid, batch_id, paths, ct_folder, out_opts,
+                 target_base) = msg
                 results, errors = host_process_files(paths)
                 if results:
                     feats, centers, selections, n_total = (
                         build_batch_request(results, target_base)
                     )
                     pending[bid] = (results, selections, n_total,
-                                    ct_folder, out_opts)
+                                    batch_id, ct_folder, out_opts)
                     outq.put(("features", wid, bid, feats, centers, errors))
                 else:
                     outq.put(
@@ -83,16 +92,16 @@ def _worker_main(wid: int, inq, outq, host_opts: HostOptions) -> None:
                     )
             elif kind == "preds":
                 _, bid, preds_sel = msg
-                results, selections, n_total, ct_folder, out_opts = (
-                    pending.pop(bid)
-                )
+                (results, selections, n_total, batch_id, ct_folder,
+                 out_opts) = pending.pop(bid)
                 t0 = time.perf_counter()
                 preds = scatter_selected_preds(
                     results, selections, preds_sel, n_total
                 )
                 local_counts: dict = {}
                 n_r, n_w, idx = write_batch_outputs(
-                    results, preds, out_opts, local_counts, bid, ct_folder
+                    results, preds, out_opts, local_counts, batch_id,
+                    ct_folder,
                 )
                 coo = counts_to_coo(local_counts)
                 outq.put(
@@ -146,6 +155,12 @@ class HostPool:
         self._load: List[int] = []
         self._inflight: Dict[int, int] = {}  # bid -> wid
         self._closed = False
+        # bids are POOL-unique (monotonic), not caller batch ids: after a
+        # run dies mid-flight (device error propagating out of
+        # detect_run), a reused pool may still hold that run's messages
+        # and worker-side pending state — unique bids make them
+        # identifiable as stale, and next_message drops them
+        self._next_bid = 0
         for wid in range(n_workers):
             inq = ctx.Queue()
             proc = ctx.Process(
@@ -175,25 +190,34 @@ class HostPool:
         return None if wid is None else self._load[wid]
 
     def submit_ingest(
-        self, bid: int, paths, ct_folder: str, out_opts, target_base
-    ) -> None:
+        self, batch_id: int, paths, ct_folder: str, out_opts, target_base
+    ) -> int:
+        """Dispatch a batch; returns the pool-unique bid its messages
+        will carry (``batch_id`` is only used for output file naming)."""
         wid = self._pick_worker()
         if wid is None:
             raise RuntimeError("all host-pool workers have died")
+        bid = self._next_bid
+        self._next_bid += 1
         self._load[wid] += 1
         self._inflight[bid] = wid
         self._inqs[wid].put(
-            ("ingest", bid, paths, ct_folder, out_opts, target_base)
+            ("ingest", bid, batch_id, paths, ct_folder, out_opts,
+             target_base)
         )
+        return bid
 
-    def submit_ingest_return(self, bid: int, paths) -> None:
+    def submit_ingest_return(self, paths) -> int:
         """Host stages only; results ship back (the serving pattern)."""
         wid = self._pick_worker()
         if wid is None:
             raise RuntimeError("all host-pool workers have died")
+        bid = self._next_bid
+        self._next_bid += 1
         self._load[wid] += 1
         self._inflight[bid] = wid
         self._inqs[wid].put(("ingest_return", bid, paths))
+        return bid
 
     def send_preds(self, wid: int, bid: int, preds_sel) -> None:
         self._inqs[wid].put(("preds", bid, preds_sel))
@@ -218,8 +242,15 @@ class HostPool:
                         "host pool has no in-flight batches to wait for"
                     )
                 continue
+            wid, bid = msg[1], msg[2]
+            if bid not in self._inflight:
+                # stale message from a run that died mid-flight (its
+                # exception propagated out of the engine before this
+                # batch finished) — drop it; the worker's matching
+                # pending entry, if any, is overwritten on reuse or
+                # reaped at close
+                continue
             if msg[0] in ("outputs", "results", "error"):
-                wid, bid = msg[1], msg[2]
                 self._load[wid] = max(0, self._load[wid] - 1)
                 self._inflight.pop(bid, None)
             return msg
@@ -240,6 +271,19 @@ class HostPool:
         return None
 
     # -- lifecycle ---------------------------------------------------------
+
+    def abandon_inflight(self) -> None:
+        """Reset after a run died mid-flight with work outstanding: clear
+        the routing state (so a reused pool schedules freshly) and tell
+        workers to drop any stashed batch state. Stale queue messages are
+        dropped by next_message's unknown-bid filter."""
+        self._inflight.clear()
+        for wid in range(len(self._procs)):
+            self._load[wid] = 0
+            try:
+                self._inqs[wid].put(("drop_pending",))
+            except (OSError, ValueError):
+                pass
 
     def close(self) -> None:
         if self._closed:

@@ -81,8 +81,7 @@ class DetectService:
             return host_process_files(paths)
         n = min(len(self._pool._procs), max(1, len(paths)))
         chunks = [paths[i::n] for i in range(n)]
-        for bid, chunk in enumerate(chunks):
-            self._pool.submit_ingest_return(bid, chunk)
+        order = [self._pool.submit_ingest_return(chunk) for chunk in chunks]
         by_bid = {}
         merged_errors: dict = {}
         pending = len(chunks)
@@ -100,7 +99,7 @@ class DetectService:
                     f"Batch worker failed: {message.split(':')[0]}", []
                 ).append(f"batch_{bid}")
                 pending -= 1
-        results = [r for bid in sorted(by_bid) for r in by_bid[bid]]
+        results = [r for bid in order for r in by_bid.get(bid, [])]
         return results, merged_errors
 
     def detect(self, fast5_paths):

@@ -637,3 +637,52 @@ def test_sparse_selection_routes_to_window_transfer():
         feats, np.arange(10, 2090, dtype=np.int64)
     )
     assert calls == {"compact": 1, "window": 1}
+
+
+def test_host_pool_survives_crashed_run(e2e, tmp_path):
+    """A run whose device stage raises mid-flight must leave a SHARED
+    pool reusable: the next run through the same pool completes with
+    correct outputs (stale messages/state from the dead run dropped)."""
+    import dataclasses
+
+    from deepmod_tpu.engine.detect import _host_options
+    from deepmod_tpu.engine.host_pool import HostPool
+
+    out, genome, reads, det, result = e2e
+
+    class ExplodingPredictor:
+        config = type(det)  # placeholder; replaced below
+        calls = 0
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.config = inner.config
+
+        def predict_from_features(self, feats, centers, window=21):
+            ExplodingPredictor.calls += 1
+            if ExplodingPredictor.calls == 1:
+                raise RuntimeError("injected device failure")
+            return self.inner.predict_from_features(feats, centers, window)
+
+    model_config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
+    from deepmod_tpu.engine.detect import WindowPredictor
+
+    inner = WindowPredictor(params, model_config, use_pallas=False)
+    cfg = dataclasses.replace(
+        det, out_folder=str(tmp_path / "crash1"), threads=2,
+        files_per_batch=2,
+    )
+    pool = HostPool(2, _host_options(cfg))
+    try:
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            detect_run(cfg, ExplodingPredictor(inner), host_pool=pool)
+        assert pool._inflight == {}  # abandoned cleanly
+        cfg2 = dataclasses.replace(cfg, out_folder=str(tmp_path / "crash2"))
+        res = detect_run(cfg2, inner, host_pool=pool)
+    finally:
+        pool.close()
+    assert res.num_reads == result.num_reads, res.errors
+    # the reference predictor here is the same weights as the fixture's
+    for b1, b2 in zip(sorted(result.bed_files), sorted(res.bed_files)):
+        assert open(b1).read() == open(b2).read()
