@@ -26,16 +26,16 @@ output queue):
     ("ingest_return", bid, paths)      # host stages only, ship results
     ("drop_pending",)                  # abandon stashed batch state
     ("stop",)
-
-``bid`` is POOL-unique and routes messages; ``batch_id`` is the run's
-batch index and only names output files. The split lets a reused pool
-identify (and drop) messages from a previous run that died mid-flight.
   worker -> engine:
     ("features", wid, bid, features, centers, errors)
     ("outputs", wid, bid, n_reads, n_windows, index_entries, coo,
      seconds, errors)
     ("results", wid, bid, results, errors)   # for ingest_return
     ("error", wid, bid, phase, message)
+
+``bid`` is POOL-unique and routes messages; ``batch_id`` is the run's
+batch index and only names output files. The split lets a reused pool
+identify (and drop) messages from a previous run that died mid-flight.
 
 Workers are JAX-free by design (the device belongs to the engine
 process); they import only host_worker + outputs.
@@ -46,7 +46,7 @@ from __future__ import annotations
 import os
 import queue as queue_mod
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from .host_worker import HostOptions
 
