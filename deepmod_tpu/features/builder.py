@@ -95,31 +95,39 @@ def build_feature_matrix(
 
     mfeatures = np.zeros((n_rows, fnum + 3), np.float64)
 
-    # absolute event index per row; valid-event mask for signal features
-    ie = np.arange(start_clip - pad, n_events - end_clip + pad)
-    valid = (ie >= 0) & (ie < n_events)
-    vrows = np.flatnonzero(valid)
-    vie = ie[valid]
+    # absolute event index per row: ie = row + (start_clip - pad), so the
+    # in-range events [max(0, start_clip-pad), min(n, n-end_clip+pad))
+    # occupy one CONTIGUOUS row span — slice assignments, no index arrays
+    row0 = start_clip - pad
+    ie_lo = max(0, row0)
+    ie_hi = min(n_events, n_events - end_clip + pad)
+    vrows = slice(ie_lo - row0, ie_hi - row0)
+    vie = slice(ie_lo, ie_hi)
 
     # aligned rows: [pad, pad + n_aligned)
-    arows = np.arange(pad, pad + n_aligned)
-    mfeatures[arows, 0] = _aligned_ref_positions(bmr)
+    mfeatures[pad : pad + n_aligned, 0] = _aligned_ref_positions(bmr)
 
     # one-hot of the ALIGNED base's refbase (non-aligned pad rows stay 0;
-    # '-'/'N' ref bases leave all four columns 0, myDetect.py:893-895)
+    # '-'/'N' ref bases leave all four columns 0, myDetect.py:893-895):
+    # one flat scatter over the rows whose base is in ACGT
     ref_at_aligned = base_map["refbase"][nongap]
     ref_codes = ref_at_aligned.view(np.uint32)  # U1 codepoints
+    col_of = np.full(256, -1, np.int64)  # non-ACGT (incl. '-'/'N') -> -1
     for base, idx in BASE_TO_INDEX.items():
-        hit = arows[ref_codes == ord(base)]
-        mfeatures[hit, fnum - 4 + idx] = 1.0
+        col_of[ord(base)] = fnum - 4 + idx
+    cols = col_of[np.minimum(ref_codes, 255)]
+    known = np.flatnonzero(cols >= 0)
+    ncol = fnum + 3
+    mfeatures.reshape(-1)[(pad + known) * ncol + cols[known]] = 1.0
 
     # signal-derived columns for every in-range event
     mfeatures[vrows, fnum + 0] = m_event["mean"][vie]
     mfeatures[vrows, fnum + 1] = m_event["stdv"][vie]
-    mfeatures[vrows, fnum + 2] = m_event["length"][vie].astype(np.float64)
+    mfeatures[vrows, fnum + 2] = m_event["length"][vie]
 
     if fnum == 57:
         binnum, binlen = 50, 0.2
+        vrows = np.arange(vrows.start, vrows.stop)
         starts = m_event["start"][vie].astype(np.int64)
         # int(length + 0.5) like myDetect.py:883
         lens = (m_event["length"][vie].astype(np.float64) + 0.5).astype(np.int64)

@@ -11,6 +11,7 @@
 // C ABI: dmt_f5_init(libpath) once, then per file
 //   h = dmt_f5_open(path, basecall_group)  ->  getters  ->  dmt_f5_free(h).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -87,10 +88,9 @@ struct Fast5Data {
   std::string version;
   std::string fastq;
   std::vector<double> signal;
-  // events (empty when move table in use)
-  std::vector<double> ev_mean, ev_stdv, ev_start, ev_length;
-  std::vector<int64_t> ev_move;
-  std::vector<char> ev_state;  // 5 bytes per event
+  // events (empty when move table in use), interleaved per-event records
+  // filled by ONE H5Dread compound conversion pass (layout EV_* below)
+  std::vector<char> ev_raw;
   size_t n_events = 0;
   size_t state_width = 0;
   // move table
@@ -150,23 +150,32 @@ bool read_scalar_attr_int64(hid_t root, const char* obj, const char* attr,
   return ok;
 }
 
-bool read_numeric_field(hid_t did, const char* field, size_t n,
-                        std::vector<double>* out) {
-  hid_t mem = api.H5Tcreate(6 /*H5T_COMPOUND*/, sizeof(double));
-  api.H5Tinsert(mem, field, 0, api.native_double);
-  out->resize(n);
-  bool ok = api.H5Dread(did, mem, 0, 0, 0, out->data()) >= 0;
-  api.H5Tclose(mem);
-  return ok;
-}
+// Interleaved in-memory event record: every numeric field lands as a
+// native double (HDF5 converts the v1 float-seconds and v2 uint-sample
+// flavors alike), matching the previous per-field read semantics but in
+// ONE H5Dread conversion pass instead of six.
+constexpr size_t EV_MEAN = 0, EV_STDV = 8, EV_START = 16, EV_LENGTH = 24,
+                 EV_MOVE = 32, EV_STATE = 40, EV_STATE_W = 5, EV_STRIDE = 48;
 
-bool read_int_field(hid_t did, const char* field, size_t n,
-                    std::vector<int64_t>* out) {
-  hid_t mem = api.H5Tcreate(6, sizeof(int64_t));
-  api.H5Tinsert(mem, field, 0, api.native_int64);
-  out->resize(n);
-  bool ok = api.H5Dread(did, mem, 0, 0, 0, out->data()) >= 0;
+bool read_events_interleaved(hid_t did, size_t n, std::vector<char>* out) {
+  hid_t str_t = api.H5Tcopy(api.c_s1);
+  api.H5Tset_size(str_t, EV_STATE_W);
+  hid_t mem = api.H5Tcreate(6 /*H5T_COMPOUND*/, EV_STRIDE);
+  bool ok = api.H5Tinsert(mem, "mean", EV_MEAN, api.native_double) >= 0 &&
+            api.H5Tinsert(mem, "stdv", EV_STDV, api.native_double) >= 0 &&
+            api.H5Tinsert(mem, "start", EV_START, api.native_double) >= 0 &&
+            api.H5Tinsert(mem, "length", EV_LENGTH, api.native_double) >= 0 &&
+            api.H5Tinsert(mem, "move", EV_MOVE, api.native_int64) >= 0 &&
+            // width-5 string member: HDF5 conversion truncates longer
+            // file-side states, the pipeline contract (m_event stores U5,
+            // myDetect.py:234) and what astype('S5') does on the h5py path
+            api.H5Tinsert(mem, "model_state", EV_STATE, str_t) >= 0;
+  if (ok) {
+    out->assign(n * EV_STRIDE, 0);
+    ok = api.H5Dread(did, mem, 0, 0, 0, out->data()) >= 0;
+  }
   api.H5Tclose(mem);
+  api.H5Tclose(str_t);
   return ok;
 }
 
@@ -349,29 +358,9 @@ void* dmt_f5_open(const char* path, const char* basecall_group,
     long long n = api.H5Sget_simple_extent_npoints(sid);
     api.H5Sclose(sid);
     d->n_events = (size_t)n;
-    bool ok = read_numeric_field(did, "mean", n, &d->ev_mean) &&
-              read_numeric_field(did, "stdv", n, &d->ev_stdv) &&
-              read_numeric_field(did, "start", n, &d->ev_start) &&
-              read_numeric_field(did, "length", n, &d->ev_length) &&
-              read_int_field(did, "move", n, &d->ev_move);
-    if (ok) {
-      // model_state is read through a width-5 string member: HDF5's
-      // type conversion truncates longer file-side strings, which is
-      // the pipeline contract anyway — the event table stores U5 states
-      // (reference m_event dtype, myDetect.py:234), matching the h5py
-      // path's astype('S5').
-      size_t width = 5;
-      hid_t str_t = api.H5Tcopy(api.c_s1);
-      api.H5Tset_size(str_t, width);
-      hid_t mem = api.H5Tcreate(6, width);
-      api.H5Tinsert(mem, "model_state", 0, str_t);
-      d->ev_state.assign(n * width, 0);
-      ok = api.H5Dread(did, mem, 0, 0, 0, d->ev_state.data()) >= 0;
-      d->state_width = width;
-      api.H5Tclose(mem);
-      api.H5Tclose(str_t);
-    }
-    if (!ok) d->status = -7;
+    d->state_width = EV_STATE_W;
+    if (!read_events_interleaved(did, (size_t)n, &d->ev_raw))
+      d->status = -7;
     api.H5Dclose(did);
   }
   api.H5Fclose(fid);
@@ -404,13 +393,16 @@ long long dmt_f5_n_events(void* h) {
 void dmt_f5_events(void* h, double* mean, double* stdv, double* start,
                    double* length, int64_t* move, char* state) {
   auto* d = static_cast<Fast5Data*>(h);
-  size_t n = d->n_events;
-  memcpy(mean, d->ev_mean.data(), n * sizeof(double));
-  memcpy(stdv, d->ev_stdv.data(), n * sizeof(double));
-  memcpy(start, d->ev_start.data(), n * sizeof(double));
-  memcpy(length, d->ev_length.data(), n * sizeof(double));
-  memcpy(move, d->ev_move.data(), n * sizeof(int64_t));
-  memcpy(state, d->ev_state.data(), n * d->state_width);
+  const size_t n = d->n_events;
+  for (size_t i = 0; i < n; ++i) {
+    const char* p = d->ev_raw.data() + i * EV_STRIDE;
+    memcpy(mean + i, p + EV_MEAN, 8);
+    memcpy(stdv + i, p + EV_STDV, 8);
+    memcpy(start + i, p + EV_START, 8);
+    memcpy(length + i, p + EV_LENGTH, 8);
+    memcpy(move + i, p + EV_MOVE, 8);
+    memcpy(state + i * EV_STATE_W, p + EV_STATE, EV_STATE_W);
+  }
 }
 // Fill a packed numpy structured array directly (one call, no per-field
 // temporaries): dtype [(mean f8)(stdv f8)(start f8|u8)(length f8|u8)
@@ -422,22 +414,88 @@ void dmt_f5_events_packed(void* h, char* dst, int start_as_u64) {
   const size_t n = d->n_events;
   const size_t stride = 45;
   for (size_t i = 0; i < n; ++i) {
+    const char* src = d->ev_raw.data() + i * EV_STRIDE;
     char* p = dst + i * stride;
-    memcpy(p, &d->ev_mean[i], 8);
-    memcpy(p + 8, &d->ev_stdv[i], 8);
+    memcpy(p, src + EV_MEAN, 8);
+    memcpy(p + 8, src + EV_STDV, 8);
     if (start_as_u64) {
-      const double sv = d->ev_start[i], lv = d->ev_length[i];
+      double sv, lv;
+      memcpy(&sv, src + EV_START, 8);
+      memcpy(&lv, src + EV_LENGTH, 8);
       const uint64_t s = sv > 0 ? (uint64_t)sv : 0;
       const uint64_t l = lv > 0 ? (uint64_t)lv : 0;
       memcpy(p + 16, &s, 8);
       memcpy(p + 24, &l, 8);
     } else {
-      memcpy(p + 16, &d->ev_start[i], 8);
-      memcpy(p + 24, &d->ev_length[i], 8);
+      memcpy(p + 16, src + EV_START, 8);
+      memcpy(p + 24, src + EV_LENGTH, 8);
     }
-    memcpy(p + 32, d->ev_state.data() + i * d->state_width, 5);
-    memcpy(p + 37, &d->ev_move[i], 8);
+    memcpy(p + 32, src + EV_STATE, 5);
+    memcpy(p + 37, src + EV_MOVE, 8);
   }
+}
+
+// Collapsed Albacore-v2 'simple' events, emitted directly in the numpy
+// EVENT_DTYPE layout (io/events.py:29-37: mean f4@0, stdv f4@4,
+// start u8@8, length u8@16, model_state U5@24 — five uint32 codepoints —
+// itemsize 44). Semantics replicate collapse_events_v2 exactly: group
+// leaders are event 0 plus every later move>0 event, each group's length
+// is the uint64 sum over its stay run (np.add.reduceat), mean/stdv are
+// np.round(x, 3) = rint(x*1000)/1000 cast to f4, start is the leader's
+// float->uint64 truncation (negatives clamp to 0, as dmt_f5_events_packed
+// + astype(uint64) produced before).
+long long dmt_f5_n_collapsed_v2(void* h) {
+  auto* d = static_cast<Fast5Data*>(h);
+  const size_t n = d->n_events;
+  if (n == 0) return 0;
+  long long count = 1;
+  for (size_t i = 1; i < n; ++i) {
+    int64_t mv;
+    memcpy(&mv, d->ev_raw.data() + i * EV_STRIDE + EV_MOVE, 8);
+    if (mv > 0) ++count;
+  }
+  return count;
+}
+
+void dmt_f5_events_collapsed_v2(void* h, char* dst) {
+  auto* d = static_cast<Fast5Data*>(h);
+  const size_t n = d->n_events;
+  if (n == 0) return;
+  constexpr size_t OUT_STRIDE = 44;
+  char* out = dst;
+  uint64_t acc_len = 0;
+  for (size_t i = 0; i < n; ++i) {
+    const char* src = d->ev_raw.data() + i * EV_STRIDE;
+    int64_t mv;
+    memcpy(&mv, src + EV_MOVE, 8);
+    double len_d;
+    memcpy(&len_d, src + EV_LENGTH, 8);
+    const uint64_t len_u = len_d > 0 ? (uint64_t)len_d : 0;
+    if (i == 0 || mv > 0) {
+      if (i > 0) {
+        memcpy(out + 16, &acc_len, 8);
+        out += OUT_STRIDE;
+      }
+      double mean_d, stdv_d, start_d;
+      memcpy(&mean_d, src + EV_MEAN, 8);
+      memcpy(&stdv_d, src + EV_STDV, 8);
+      memcpy(&start_d, src + EV_START, 8);
+      const float m3 = (float)(rint(mean_d * 1000.0) / 1000.0);
+      const float s3 = (float)(rint(stdv_d * 1000.0) / 1000.0);
+      const uint64_t st = start_d > 0 ? (uint64_t)start_d : 0;
+      memcpy(out + 0, &m3, 4);
+      memcpy(out + 4, &s3, 4);
+      memcpy(out + 8, &st, 8);
+      uint32_t cp[5];
+      for (int k = 0; k < 5; ++k)
+        cp[k] = (uint32_t)(unsigned char)src[EV_STATE + k];
+      memcpy(out + 24, cp, 20);
+      acc_len = len_u;
+    } else {
+      acc_len += len_u;
+    }
+  }
+  memcpy(out + 16, &acc_len, 8);
 }
 
 long long dmt_f5_move_len(void* h) {

@@ -88,6 +88,12 @@ def _ensure_init():
     lib.dmt_f5_events_packed.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char), ctypes.c_int,
     ]
+    lib.dmt_f5_n_collapsed_v2.restype = ctypes.c_longlong
+    lib.dmt_f5_n_collapsed_v2.argtypes = [ctypes.c_void_p]
+    lib.dmt_f5_events_collapsed_v2.restype = None
+    lib.dmt_f5_events_collapsed_v2.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char),
+    ]
     lib.dmt_f5_move.restype = None
     lib.dmt_f5_move.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.dmt_f5_free.restype = None
@@ -174,36 +180,59 @@ def read_fast5_native(path: str, options=None):
         else:
             n_ev = lib.dmt_f5_n_events(handle)
             version_class = _version_class(version)
-            if version_class == 1:
-                dtype = [("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"),
-                         ("length", "<f8"), ("model_state", "S5"),
-                         ("move", "<i8")]
-            else:
-                dtype = [("mean", "<f8"), ("stdv", "<f8"), ("start", "<u8"),
-                         ("length", "<u8"), ("model_state", "S5"),
-                         ("move", "<i8")]
-            events = np.empty(int(n_ev), dtype=dtype)
-            # C fills the packed record layout directly — no per-field
-            # temporaries (dmt_f5_events_packed pins offsets 0/8/16/24/
-            # 32/37, itemsize 45)
-            assert events.dtype.itemsize == 45
-            lib.dmt_f5_events_packed(
-                handle,
-                events.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
-                0 if version_class == 1 else 1,
-            )
-            if version_class == 1:
-                if start_time < 0:
-                    # attr absent: the h5py path (and the reference, via
-                    # KeyError) reject such v1 reads
-                    raise EventError("Cannot open fast5 or other errors")
-                m_event, skip = collapse_events_v1(
-                    events, sampling_rate, start_time
+            if (
+                version_class != 1
+                and options.signal_group == "simple"
+                and n_ev > 0
+            ):
+                # hot path: the C side collapses stay events straight from
+                # its interleaved record buffer into the numpy EVENT_DTYPE
+                # layout — no intermediate events array, no numpy collapse
+                # (bit-identical to collapse_events_v2; pinned by
+                # tests/test_native_fast5.py)
+                from deepmod_tpu.io.events import EVENT_DTYPE
+
+                n_out = int(lib.dmt_f5_n_collapsed_v2(handle))
+                m_event = np.empty(n_out, EVENT_DTYPE)
+                assert m_event.dtype.itemsize == 44
+                lib.dmt_f5_events_collapsed_v2(
+                    handle,
+                    m_event.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
                 )
-            elif options.signal_group == "simple":
-                m_event, skip = collapse_events_v2(events)
+                skip = (0, 0)
             else:
-                m_event, skip = resegment_events(events, raw_signals, fq_seq)
+                if version_class == 1:
+                    dtype = [("mean", "<f8"), ("stdv", "<f8"),
+                             ("start", "<f8"), ("length", "<f8"),
+                             ("model_state", "S5"), ("move", "<i8")]
+                else:
+                    dtype = [("mean", "<f8"), ("stdv", "<f8"),
+                             ("start", "<u8"), ("length", "<u8"),
+                             ("model_state", "S5"), ("move", "<i8")]
+                events = np.empty(int(n_ev), dtype=dtype)
+                # C fills the packed record layout directly — no per-field
+                # temporaries (dmt_f5_events_packed pins offsets 0/8/16/24/
+                # 32/37, itemsize 45)
+                assert events.dtype.itemsize == 45
+                lib.dmt_f5_events_packed(
+                    handle,
+                    events.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+                    0 if version_class == 1 else 1,
+                )
+                if version_class == 1:
+                    if start_time < 0:
+                        # attr absent: the h5py path (and the reference,
+                        # via KeyError) reject such v1 reads
+                        raise EventError("Cannot open fast5 or other errors")
+                    m_event, skip = collapse_events_v1(
+                        events, sampling_rate, start_time
+                    )
+                elif options.signal_group == "simple":
+                    m_event, skip = collapse_events_v2(events)
+                else:
+                    m_event, skip = resegment_events(
+                        events, raw_signals, fq_seq
+                    )
             basecall = _basecall_from_events(m_event)
     finally:
         lib.dmt_f5_free(handle)
