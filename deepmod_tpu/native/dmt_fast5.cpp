@@ -49,6 +49,7 @@ struct H5Api {
   hid_t (*H5Tcreate)(int, size_t);
   hid_t (*H5Tcopy)(hid_t);
   herr_t (*H5Tset_size)(hid_t, size_t);
+  herr_t (*H5Tset_strpad)(hid_t, int);
   herr_t (*H5Tinsert)(hid_t, const char*, size_t, hid_t);
   herr_t (*H5Tclose)(hid_t);
   int (*H5Tget_nmembers)(hid_t);
@@ -119,6 +120,7 @@ bool read_string_attr(hid_t root, const char* obj, const char* attr,
     std::vector<char> buf(n + 1, 0);
     hid_t mem = api.H5Tcopy(api.c_s1);
     api.H5Tset_size(mem, n);
+    api.H5Tset_strpad(mem, 1 /*NULLPAD: keep all n chars, see above*/);
     if (api.H5Aread(aid, mem, buf.data()) >= 0) {
       *out = std::string(buf.data(), strnlen(buf.data(), n));
       ok = true;
@@ -160,6 +162,12 @@ constexpr size_t EV_MEAN = 0, EV_STDV = 8, EV_START = 16, EV_LENGTH = 24,
 bool read_events_interleaved(hid_t did, size_t n, std::vector<char>* out) {
   hid_t str_t = api.H5Tcopy(api.c_s1);
   api.H5Tset_size(str_t, EV_STATE_W);
+  // NULLPAD, not the C_S1 default NULLTERM: a null-terminated destination
+  // reserves its last byte for NUL, silently truncating 5-char states to
+  // 4 (caught by tests/test_native_fast5.py::
+  // test_native_collapse_crafted_moves); numpy's astype('S5') — the h5py
+  // path — keeps all 5 bytes.
+  api.H5Tset_strpad(str_t, 1 /*H5T_STR_NULLPAD*/);
   hid_t mem = api.H5Tcreate(6 /*H5T_COMPOUND*/, EV_STRIDE);
   bool ok = api.H5Tinsert(mem, "mean", EV_MEAN, api.native_double) >= 0 &&
             api.H5Tinsert(mem, "stdv", EV_STDV, api.native_double) >= 0 &&
@@ -209,6 +217,7 @@ int dmt_f5_init(const char* libhdf5_path) {
   ok &= load_sym(lib, "H5Tcreate", &api.H5Tcreate);
   ok &= load_sym(lib, "H5Tcopy", &api.H5Tcopy);
   ok &= load_sym(lib, "H5Tset_size", &api.H5Tset_size);
+  ok &= load_sym(lib, "H5Tset_strpad", &api.H5Tset_strpad);
   ok &= load_sym(lib, "H5Tinsert", &api.H5Tinsert);
   ok &= load_sym(lib, "H5Tclose", &api.H5Tclose);
   ok &= load_sym(lib, "H5Tget_nmembers", &api.H5Tget_nmembers);
@@ -277,6 +286,7 @@ void* dmt_f5_open(const char* path, const char* basecall_group,
     std::vector<char> buf(n + 1, 0);
     hid_t mem = api.H5Tcopy(api.c_s1);
     api.H5Tset_size(mem, n);
+    api.H5Tset_strpad(mem, 1 /*NULLPAD: keep all n chars, see above*/);
     if (api.H5Dread(did, mem, 0, 0, 0, buf.data()) >= 0)
       d->fastq = std::string(buf.data(), strnlen(buf.data(), n));
     api.H5Tclose(mem);

@@ -36,6 +36,10 @@ def test_native_reader_identical(tmp_path, style, move_opt):
         np.testing.assert_array_equal(a.m_event["length"], b.m_event["length"])
         np.testing.assert_array_equal(a.m_event["mean"], b.m_event["mean"])
         np.testing.assert_array_equal(a.m_event["stdv"], b.m_event["stdv"])
+        if "model_state" in a.m_event.dtype.names:
+            np.testing.assert_array_equal(
+                a.m_event["model_state"], b.m_event["model_state"]
+            )
         np.testing.assert_array_equal(a.raw_signals, b.raw_signals)
 
 
@@ -57,3 +61,49 @@ def test_native_batch_env_flag(tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             plain[rid].m_event["mean"], native[rid].m_event["mean"]
         )
+
+
+def test_native_collapse_crafted_moves(tmp_path):
+    """The C v2 collapse (dmt_f5_events_collapsed_v2) against the numpy
+    collapse on move patterns the synthetic generator never emits:
+    leading stays (move[0]==0), long stay runs, move values > 1."""
+    import h5py
+
+    out = str(tmp_path / "crafted")
+    _, reads = generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrN": 8000}, num_reads=3,
+                    read_length=(500, 800), seed=41, fast5_style="v2"),
+    )
+    rng = np.random.RandomState(7)
+    patterns = ["leading_stays", "long_runs", "multi_moves"]
+    for sim, pattern in zip(reads, patterns):
+        with h5py.File(sim.path, "r+") as fh:
+            ev = fh["Analyses/Basecall_1D_000/BaseCalled_template/Events"][()]
+            move = ev["move"].copy()
+            if pattern == "leading_stays":
+                move[:5] = 0
+            elif pattern == "long_runs":
+                # a 30-event stay run in the middle
+                mid = len(move) // 2
+                move[mid : mid + 30] = 0
+            else:
+                hits = rng.rand(len(move)) < 0.2
+                move[hits] = rng.randint(2, 5, hits.sum())
+                move[0] = 0  # combined: leading stay AND multi-moves
+            ev["move"] = move
+            del fh["Analyses/Basecall_1D_000/BaseCalled_template/Events"]
+            fh.create_dataset(
+                "Analyses/Basecall_1D_000/BaseCalled_template/Events",
+                data=ev,
+            )
+        opts = Fast5ReadOptions()
+        a = read_fast5_file(sim.path, opts)
+        b = read_fast5_native(sim.path, opts)
+        assert len(a.m_event) == len(b.m_event)
+        for field in ("mean", "stdv", "start", "length", "model_state"):
+            np.testing.assert_array_equal(
+                a.m_event[field], b.m_event[field], err_msg=pattern
+            )
+        assert a.basecall == b.basecall
+        assert a.left_right_skip == b.left_right_skip
