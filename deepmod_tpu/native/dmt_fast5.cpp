@@ -508,6 +508,149 @@ void dmt_f5_events_collapsed_v2(void* h, char* dst) {
   memcpy(out + 16, &acc_len, 8);
 }
 
+// python round(float(x), 3) — CPython's correctly-rounded decimal round,
+// which differs from numpy's rint(x*1000)/1000 near .0005 boundaries
+// (the v1 collapse uses the python builtin; the v2 one uses np.round).
+// Exactness argument: x*2000 is exactly representable in an 80-bit long
+// double (53-bit mantissa x 125 needs 60 bits), and the integer midpoints
+// 2k±1 are exact too, so the candidate comparison below reproduces the
+// correctly-rounded result; a binary double can never sit exactly on a
+// .0005 decimal midpoint, so python's half-even tie rule never fires.
+static double py_round3(double x) {
+  if (!std::isfinite(x)) return x;
+  const double k0 = std::nearbyint(x * 1000.0);
+  const long double x2000 = (long double)x * 2000.0L;
+  double best_k = k0;
+  long double best_d = -1.0L;
+  for (int dk = -1; dk <= 1; ++dk) {
+    const double k = k0 + dk;
+    long double d = x2000 - 2.0L * (long double)k;
+    if (d < 0) d = -d;
+    if (best_d < 0 || d < best_d ||
+        (d == best_d && std::fmod(k, 2.0) == 0.0)) {
+      best_d = d;
+      best_k = k;
+    }
+  }
+  const double r = best_k / 1000.0;
+  return best_k == 0.0 ? std::copysign(r, x) : r;
+}
+
+// Collapsed Albacore-v1 events (seconds -> sample indices, stay collapse,
+// gap patching), emitted in the numpy EVENT_DTYPE layout like the v2
+// variant above. Replicates io/events.py::collapse_events_v1 — itself the
+// reference's getEvent v1 branch (myDetect.py:166-238) — including the
+// per-event float->uint64 length truncation, the uint64 gap arithmetic,
+// python-round means/stdvs and uppercased states. Returns the collapsed
+// event count, or a negative error code: -1 "Remove too many bases on
+// left", -2 "Remove too many bases on right", -3 "first index < -2".
+// `dst` must hold 2*n_events + 2 records (gap fillers can double a run's
+// output); skips are returned through skip_left/skip_right.
+long long dmt_f5_events_collapsed_v1(void* h, double sampling_rate,
+                                     long long raw_start_time, char* dst,
+                                     long long* skip_left,
+                                     long long* skip_right) {
+  auto* d = static_cast<Fast5Data*>(h);
+  const long long n = (long long)d->n_events;
+  const char* raw = d->ev_raw.data();
+  auto f64_at = [&](long long i, size_t off) {
+    double v;
+    memcpy(&v, raw + i * EV_STRIDE + off, 8);
+    return v;
+  };
+  auto mv_at = [&](long long i) {
+    int64_t v;
+    memcpy(&v, raw + i * EV_STRIDE + EV_MOVE, 8);
+    return v;
+  };
+  long long m0l = -1, m0r = -1;
+  for (long long i = 0; i < n; ++i)
+    if (mv_at(i) != 0) { m0l = i; break; }
+  if (m0l < 0) return -1;
+  for (long long i = n - 1; i >= 0; --i)
+    if (mv_at(i) != 0) { m0r = i; break; }
+  if (m0l > (n - 1) - 20) return -1;
+  if (m0r < m0l + 20) return -2;
+
+  const double start_m0l_sec = f64_at(m0l, EV_START);
+  const double based_ind = start_m0l_sec * sampling_rate -
+                           (double)raw_start_time;
+  long long first_idx_i = (long long)std::nearbyint(
+      start_m0l_sec * sampling_rate) - raw_start_time;
+  if (first_idx_i < -2) return -3;
+  if (first_idx_i < 0) first_idx_i = 0;
+  const uint64_t first_idx = (uint64_t)first_idx_i;
+
+  // float->uint64 like numpy's astype (negatives wrap through int64)
+  auto len_samples = [&](long long i) {
+    const double v = f64_at(i, EV_LENGTH) * sampling_rate;
+    return (uint64_t)(int64_t)v;
+  };
+
+  constexpr size_t OUT_STRIDE = 44;
+  char* out = dst;
+  long long count = 0;
+  uint64_t prev_end = 0;  // start+length of the last emitted record
+  auto put = [&](long long src_i, uint64_t start, uint64_t length) {
+    const float m3 = (float)py_round3(f64_at(src_i, EV_MEAN));
+    const float s3 = (float)py_round3(f64_at(src_i, EV_STDV));
+    char* p = out + count * OUT_STRIDE;
+    memcpy(p + 0, &m3, 4);
+    memcpy(p + 4, &s3, 4);
+    memcpy(p + 8, &start, 8);
+    memcpy(p + 16, &length, 8);
+    uint32_t cp[5];
+    const char* st = raw + src_i * EV_STRIDE + EV_STATE;
+    for (int k = 0; k < 5; ++k) {
+      unsigned char c = (unsigned char)st[k];
+      if (c >= 'a' && c <= 'z') c = (unsigned char)(c - 'a' + 'A');
+      cp[k] = (uint32_t)c;
+    }
+    memcpy(p + 24, cp, 20);
+    ++count;
+    prev_end = start + length;
+  };
+
+  long long pre_i = m0l;
+  uint64_t cur_length = len_samples(m0l);
+  auto emit = [&]() {
+    if (pre_i == m0l) {
+      put(pre_i, first_idx, cur_length);
+      return;
+    }
+    const double cal_st = (f64_at(pre_i, EV_START) - start_m0l_sec) *
+                              sampling_rate + based_ind;
+    const double gap_f = cal_st - (double)prev_end;
+    if (cal_st > 0 && gap_f > 0 && (uint64_t)gap_f > 0) {
+      const uint64_t gap = (uint64_t)gap_f;
+      if (gap > 2) {
+        const uint64_t pe = prev_end;
+        put(pre_i, pe, gap);                     // gap-filler pseudo-event
+        put(pre_i, (uint64_t)cal_st, cur_length);  // the real one
+      } else {
+        put(pre_i, prev_end, gap + cur_length);
+      }
+    } else {
+      put(pre_i, prev_end, cur_length);
+    }
+  };
+
+  for (long long i = m0l + 1; i <= m0r; ++i) {
+    if (mv_at(i) > 0) {
+      emit();
+      pre_i = i;
+      cur_length = len_samples(i);
+    } else {
+      cur_length += len_samples(i);
+    }
+  }
+  emit();  // final pending event
+
+  *skip_left = m0l;
+  *skip_right = n - m0r - 1;
+  return count;
+}
+
 long long dmt_f5_move_len(void* h) {
   return (long long)static_cast<Fast5Data*>(h)->move.size();
 }

@@ -94,6 +94,13 @@ def _ensure_init():
     lib.dmt_f5_events_collapsed_v2.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char),
     ]
+    lib.dmt_f5_events_collapsed_v1.restype = ctypes.c_longlong
+    lib.dmt_f5_events_collapsed_v1.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_char),
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
     lib.dmt_f5_move.restype = None
     lib.dmt_f5_move.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.dmt_f5_free.restype = None
@@ -114,7 +121,6 @@ def read_fast5_native(path: str, options=None):
         return None
     from deepmod_tpu.io.events import (
         EventError,
-        collapse_events_v1,
         collapse_events_v2,
         move_table_events,
         resegment_events,
@@ -200,34 +206,52 @@ def read_fast5_native(path: str, options=None):
                     m_event.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
                 )
                 skip = (0, 0)
+            elif version_class == 1:
+                if start_time < 0:
+                    # attr absent: the h5py path (and the reference,
+                    # via KeyError) reject such v1 reads
+                    raise EventError("Cannot open fast5 or other errors")
+                # C-side v1 collapse (seconds -> samples, gap patching),
+                # bit-identical to collapse_events_v1 incl. its
+                # python-round means (pinned by tests/test_native_fast5)
+                from deepmod_tpu.io.events import EVENT_DTYPE
+
+                buf = np.empty(2 * int(n_ev) + 2, EVENT_DTYPE)
+                assert buf.dtype.itemsize == 44
+                skl = ctypes.c_longlong()
+                skr = ctypes.c_longlong()
+                cnt = int(lib.dmt_f5_events_collapsed_v1(
+                    handle, float(sampling_rate), int(start_time),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+                    ctypes.byref(skl), ctypes.byref(skr),
+                ))
+                if cnt == -1:
+                    raise EventError("Remove too many bases on left")
+                if cnt == -2:
+                    raise EventError("Remove too many bases on right")
+                if cnt == -3:
+                    raise EventError(
+                        "The index of the first base is less than -2"
+                    )
+                m_event = buf[:cnt].copy()
+                skip = (skl.value, skr.value)
             else:
-                if version_class == 1:
-                    dtype = [("mean", "<f8"), ("stdv", "<f8"),
-                             ("start", "<f8"), ("length", "<f8"),
-                             ("model_state", "S5"), ("move", "<i8")]
-                else:
-                    dtype = [("mean", "<f8"), ("stdv", "<f8"),
-                             ("start", "<u8"), ("length", "<u8"),
-                             ("model_state", "S5"), ("move", "<i8")]
+                # rundif re-segmentation (re-splits raw signal, not a stay
+                # collapse) and the empty-table v2 corner: build the packed
+                # events array and reuse the python paths
+                dtype = [("mean", "<f8"), ("stdv", "<f8"),
+                         ("start", "<u8"), ("length", "<u8"),
+                         ("model_state", "S5"), ("move", "<i8")]
                 events = np.empty(int(n_ev), dtype=dtype)
-                # C fills the packed record layout directly — no per-field
-                # temporaries (dmt_f5_events_packed pins offsets 0/8/16/24/
-                # 32/37, itemsize 45)
+                # C fills the packed record layout directly (offsets
+                # 0/8/16/24/32/37, itemsize 45)
                 assert events.dtype.itemsize == 45
                 lib.dmt_f5_events_packed(
                     handle,
                     events.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
-                    0 if version_class == 1 else 1,
+                    1,
                 )
-                if version_class == 1:
-                    if start_time < 0:
-                        # attr absent: the h5py path (and the reference,
-                        # via KeyError) reject such v1 reads
-                        raise EventError("Cannot open fast5 or other errors")
-                    m_event, skip = collapse_events_v1(
-                        events, sampling_rate, start_time
-                    )
-                elif options.signal_group == "simple":
+                if options.signal_group == "simple":
                     m_event, skip = collapse_events_v2(events)
                 else:
                     m_event, skip = resegment_events(

@@ -107,3 +107,50 @@ def test_native_collapse_crafted_moves(tmp_path):
             )
         assert a.basecall == b.basecall
         assert a.left_right_skip == b.left_right_skip
+
+
+def test_native_collapse_v1_crafted_gaps(tmp_path):
+    """The C v1 collapse against the numpy collapse on gap patterns the
+    synthetic generator never emits: >2-sample gaps (filler pseudo-event),
+    1-2 sample gaps (length-merged), negative gaps (overlap), stay runs."""
+    import h5py
+
+    out = str(tmp_path / "v1crafted")
+    _, reads = generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrN": 8000}, num_reads=2,
+                    read_length=(500, 800), seed=43, fast5_style="v1"),
+    )
+    rng = np.random.RandomState(9)
+    for sim in reads:
+        with h5py.File(sim.path, "r+") as fh:
+            key = "Analyses/Basecall_1D_000/BaseCalled_template/Events"
+            ev = fh[key][()]
+            rate = fh["UniqueGlobalKey/channel_id"].attrs["sampling_rate"]
+            start = ev["start"].copy()
+            # bump a few event starts: +8 samples (gap>2 filler), +1.5
+            # (merge branch), and leave the follower where it was (the
+            # negative-gap branch fires on the next leader)
+            n = len(start)
+            bumped = [(n // 4, 8.0), (n // 2, 1.5), (3 * n // 4, 2.4)]
+            for idx, bump in bumped:
+                start[idx] = start[idx] + bump / float(rate)
+            ev["start"] = start
+            mv = ev["move"].copy()
+            stays = rng.rand(n) < 0.3
+            stays[0] = stays[-1] = False
+            mv[stays] = 0
+            for idx, _ in bumped:
+                mv[idx] = 1  # bumped events must be leaders
+            ev["move"] = mv
+            del fh[key]
+            fh.create_dataset(key, data=ev)
+        opts = Fast5ReadOptions()
+        a = read_fast5_file(sim.path, opts)
+        b = read_fast5_native(sim.path, opts)
+        assert len(a.m_event) == len(b.m_event)
+        for field in ("mean", "stdv", "start", "length", "model_state"):
+            np.testing.assert_array_equal(a.m_event[field], b.m_event[field])
+        assert a.basecall == b.basecall
+        assert a.left_right_skip == b.left_right_skip
+        np.testing.assert_array_equal(a.raw_signals, b.raw_signals)
