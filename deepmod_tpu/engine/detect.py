@@ -211,10 +211,22 @@ class WindowPredictor:
             # host->device bytes for bit-identical predictions
             compact_transfer = jax.default_backend() == "tpu"
         self.compact_transfer = bool(compact_transfer)
-        self._compact_fn = None
+        # packed compact transfer: the 4 one-hot refbase columns ride as
+        # ONE uint8 code (0..3 = ACGT, 4 = no base: '-'/'N'/pad rows) and
+        # are rebuilt on device from a 5x4 LUT — 7 bytes/row instead of
+        # 14 in bf16, bit-identical (LUT rows are exact 0/1; the numeric
+        # columns transfer as the very same host-cast values). fnum=57's
+        # histogram columns aren't safely byte-packable (counts can
+        # exceed 255), so packing applies to the production fnum=7 only.
+        self._pack_onehot = (
+            config.num_input == 7
+            and os.environ.get("DMT_COMPACT_PACK", "1") != "0"
+        )
+        self._compact_fns: dict = {}
 
-    def _get_compact_fn(self):
-        """Jitted (rows, F) -> (rows,) predictions.
+    def _get_compact_fn(self, pack: bool):
+        """Jitted (rows, F) -> (rows,) predictions (``pack``: the packed
+        codes+rest variant, see _predict_compact).
 
         Window i = feature rows i..i+T-1 via jnp.roll shifts (the last
         T-1 windows wrap around — garbage, but valid centers never map
@@ -223,8 +235,17 @@ class WindowPredictor:
         SPMD with feats sharded over 'data' — XLA inserts the halo
         collective-permutes — and the shard_map'd Pallas kernel consumes
         the already-built windows per shard."""
-        if self._compact_fn is None:
+        if pack not in self._compact_fns:
             T = self.config.timesteps
+            lut = np.zeros((5, 4), np.float32)
+            lut[:4] = np.eye(4, dtype=np.float32)
+
+            def _assemble(codes, rest):
+                # rebuild [onehot(4) | mean stdv length] on device; the
+                # LUT gather is exact 0/1 in any dtype
+                return jnp.concatenate(
+                    [jnp.asarray(lut, rest.dtype)[codes], rest], axis=1
+                )
 
             # multi-device build: jnp.roll keeps the row count unchanged
             # (divisible by the mesh), so the build runs under plain SPMD
@@ -258,28 +279,51 @@ class WindowPredictor:
                         check_vma=False,
                     )
 
-                def _pred_compact(p, feats):
-                    return _kernel(p, _windows(feats))
+                if pack:
+                    def _pred_compact(p, codes, rest):
+                        return _kernel(p, _windows(_assemble(codes, rest)))
 
-                self._compact_fn = jax.jit(
-                    _pred_compact,
-                    in_shardings=(replicated, sharded),
-                    out_shardings=sharded,
-                )
+                    self._compact_fns[pack] = jax.jit(
+                        _pred_compact,
+                        in_shardings=(replicated, sharded, sharded),
+                        out_shardings=sharded,
+                    )
+                else:
+                    def _pred_compact(p, feats):
+                        return _kernel(p, _windows(feats))
+
+                    self._compact_fns[pack] = jax.jit(
+                        _pred_compact,
+                        in_shardings=(replicated, sharded),
+                        out_shardings=sharded,
+                    )
             else:
-                def _pred_compact(p, feats):
+                def _window_slices(feats):
                     rows = feats.shape[0]
-                    win = jnp.stack(
+                    return jnp.stack(
                         [feats[t : rows - T + 1 + t] for t in range(T)],
                         axis=1,
                     )
-                    return bilstm_predict(
-                        p, win, self.config,
-                        use_pallas=self.use_pallas, precision=self.precision,
-                    )
 
-                self._compact_fn = jax.jit(_pred_compact)
-        return self._compact_fn
+                if pack:
+                    def _pred_compact(p, codes, rest):
+                        win = _window_slices(_assemble(codes, rest))
+                        return bilstm_predict(
+                            p, win, self.config,
+                            use_pallas=self.use_pallas,
+                            precision=self.precision,
+                        )
+                else:
+                    def _pred_compact(p, feats):
+                        win = _window_slices(feats)
+                        return bilstm_predict(
+                            p, win, self.config,
+                            use_pallas=self.use_pallas,
+                            precision=self.precision,
+                        )
+
+                self._compact_fns[pack] = jax.jit(_pred_compact)
+        return self._compact_fns[pack]
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
@@ -422,7 +466,26 @@ class WindowPredictor:
         dt = self._transfer_dtype()
         if features.dtype != dt:
             features = features.astype(dt)
-        fn = self._get_compact_fn()
+        pack = False
+        if self._pack_onehot:
+            # pack the 4 one-hot columns into ONE uint8 code (7 bytes/row
+            # instead of 14 in bf16). Engine-built features always
+            # qualify; arbitrary library inputs (cols 0..3 not a 0/1
+            # one-hot) fall back to the unpacked transfer so the packing
+            # can never change an answer.
+            onehot = np.asarray(features[:, :4], np.float32)
+            row_max = onehot.max(axis=1)
+            if (
+                ((onehot == 0.0) | (onehot == 1.0)).all()
+                and (onehot.sum(axis=1) <= 1.0).all()
+            ):
+                pack = True
+                # all-zero rows ('-'/'N' refbase, pad rows) -> code 4
+                codes = np.where(
+                    row_max != 0, onehot.argmax(axis=1), 4
+                ).astype(np.uint8)
+                rest = features[:, 4:]
+        fn = self._get_compact_fn(pack)
         out = np.empty(n, np.int8)
         inflight: List[Tuple[int, int, np.ndarray, Any]] = []
         lookahead = 2
@@ -452,15 +515,30 @@ class WindowPredictor:
             # centers computable from rows [row0, row0+bucket):
             # c + half <= row0 + bucket - 1
             j = int(np.searchsorted(centers, row0 + bucket - half, "left"))
-            chunk = features[row0 : row0 + bucket]
-            if len(chunk) < bucket:
-                pad = np.zeros((bucket,) + features.shape[1:], features.dtype)
-                pad[: len(chunk)] = chunk
-                chunk = pad
             idx = np.asarray(centers[i:j]) - row0 - half
-            inflight.append(
-                (i, j, idx, fn(self.params, jnp.asarray(chunk)))
-            )
+            if pack:
+                c_chunk = codes[row0 : row0 + bucket]
+                r_chunk = rest[row0 : row0 + bucket]
+                if len(c_chunk) < bucket:
+                    cpad = np.full(bucket, 4, np.uint8)
+                    cpad[: len(c_chunk)] = c_chunk
+                    rpad = np.zeros((bucket, rest.shape[1]), rest.dtype)
+                    rpad[: len(r_chunk)] = r_chunk
+                    c_chunk, r_chunk = cpad, rpad
+                pred = fn(
+                    self.params, jnp.asarray(c_chunk),
+                    jnp.asarray(np.ascontiguousarray(r_chunk)),
+                )
+            else:
+                chunk = features[row0 : row0 + bucket]
+                if len(chunk) < bucket:
+                    pad = np.zeros(
+                        (bucket,) + features.shape[1:], features.dtype
+                    )
+                    pad[: len(chunk)] = chunk
+                    chunk = pad
+                pred = fn(self.params, jnp.asarray(chunk))
+            inflight.append((i, j, idx, pred))
             i = j
             drain(lookahead)
         drain(0)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Same-process A/B: packed (uint8 code + bf16 numerics, 7 B/row) vs
+unpacked (bf16, 14 B/row) compact transfer through the real predictor.
+
+Alternates modes within ONE process so tunnel-bandwidth drift cancels;
+prints one JSON line per pass plus a summary. The packed path must also
+be prediction-identical to the unpacked one on the same block (checked).
+
+Usage: python scripts/probe_compact_pack.py [--rows 4194304] [--passes 3]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4 * 1024 * 1024)
+    ap.add_argument("--passes", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    rows = args.rows if on_tpu else 65536
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(0), config)
+    precision = "bf16" if on_tpu else "fp32"
+    bucket = 262144 if on_tpu else 16384
+
+    rng = np.random.RandomState(1)
+    feats = np.zeros((rows, 7), np.float32)
+    hot = rng.randint(0, 5, rows)
+    for b in range(4):
+        feats[hot == b, b] = 1.0
+    feats[:, 4] = (rng.randn(rows) * 2).round(3)
+    feats[:, 5] = np.abs(rng.randn(rows) * 2).round(3)
+    feats[:, 6] = rng.randint(4, 40, rows)
+    centers = np.arange(16, rows - 16, dtype=np.int64)
+
+    packed = WindowPredictor(
+        params, config, buckets=(bucket,), precision=precision,
+        compact_transfer=True, data_parallel=False,
+    )
+    os.environ["DMT_COMPACT_PACK"] = "0"
+    plain = WindowPredictor(
+        params, config, buckets=(bucket,), precision=precision,
+        compact_transfer=True, data_parallel=False,
+    )
+    del os.environ["DMT_COMPACT_PACK"]
+    assert packed._pack_onehot and not plain._pack_onehot
+
+    # warm both compiles + parity check
+    a = packed.predict_from_features(feats, centers)
+    b = plain.predict_from_features(feats, centers)
+    assert np.array_equal(a, b), "packed/unpacked prediction mismatch"
+
+    results = {"packed": [], "plain": []}
+    for _ in range(args.passes):
+        for name, pred in (("plain", plain), ("packed", packed)):
+            t0 = time.perf_counter()
+            pred.predict_from_features(feats, centers)
+            dt = time.perf_counter() - t0
+            results[name].append(dt)
+            print(json.dumps({
+                "mode": name, "wall_s": round(dt, 3),
+                "windows_per_s": round(len(centers) / dt, 1),
+            }), flush=True)
+    best = {k: min(v) for k, v in results.items()}
+    print(json.dumps({
+        "metric": "compact_pack_speedup",
+        "value": round(best["plain"] / best["packed"], 3),
+        "unit": "x (plain_best / packed_best)",
+        "best_plain_s": round(best["plain"], 3),
+        "best_packed_s": round(best["packed"], 3),
+        "rows": rows, "identical": True,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -431,6 +431,72 @@ def test_predictor_compact_transfer_equality():
     )
 
 
+def test_predictor_packed_compact_equality():
+    """Packed compact transfer (one-hot columns as a uint8 code + a 5x4
+    device LUT, 7 bytes/row in bf16) must match the unpacked compact and
+    window-transfer paths exactly on engine-shaped features; non-one-hot
+    library inputs must fall back to the unpacked fn (not mis-pack)."""
+    import jax
+    import numpy as np
+
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+
+    config = BiLSTMConfig(num_input=7)
+    params = init_bilstm_params(jax.random.PRNGKey(7), config)
+    rng = np.random.default_rng(11)
+    rows = 900
+    feats = np.zeros((rows, 7), np.float32)
+    hot = rng.integers(0, 5, rows)  # 4 = no base ('-'/'N'/pad rows)
+    for b in range(4):
+        feats[hot == b, b] = 1.0
+    feats[:, 4] = (rng.standard_normal(rows) * 2).round(3)
+    feats[:, 5] = np.abs(rng.standard_normal(rows) * 2).round(3)
+    feats[:, 6] = rng.integers(1, 40, rows)
+    centers = np.arange(12, rows - 12, dtype=np.int64)
+    kw = dict(buckets=(64, 256), data_parallel=False)
+    for use_pallas in (False, True):
+        packed = WindowPredictor(
+            params, config, use_pallas=use_pallas,
+            compact_transfer=True, **kw,
+        )
+        assert packed._pack_onehot
+        win = WindowPredictor(
+            params, config, use_pallas=use_pallas,
+            compact_transfer=False, **kw,
+        )
+        got = packed.predict_from_features(feats, centers)
+        assert True in packed._compact_fns  # the packed fn really ran
+        want = win.predict_from_features(feats, centers)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"pallas={use_pallas}"
+        )
+        # non-one-hot inputs: falls back, never mis-packs
+        rand = rng.standard_normal((rows, 7)).astype(np.float32)
+        got_r = packed.predict_from_features(rand, centers)
+        assert False in packed._compact_fns
+        np.testing.assert_array_equal(
+            got_r, win.predict_from_features(rand, centers),
+            err_msg=f"fallback pallas={use_pallas}",
+        )
+
+    # sharded build on the virtual mesh: packed SPMD windows + LUT gather
+    if jax.device_count() > 1:
+        packed_dp = WindowPredictor(
+            params, config, use_pallas=False, buckets=(64, 256),
+            data_parallel=True, compact_transfer=True,
+        )
+        win_dp = WindowPredictor(
+            params, config, use_pallas=False, buckets=(64, 256),
+            data_parallel=True, compact_transfer=False,
+        )
+        np.testing.assert_array_equal(
+            packed_dp.predict_from_features(feats, centers),
+            win_dp.predict_from_features(feats, centers),
+            err_msg="data-parallel packed build",
+        )
+
+
 def test_predictor_bounded_waste_schedule():
     """The bucket descent stops once the remainder's covering bucket pads
     with bounded waste, instead of descending through every level (each
