@@ -47,6 +47,13 @@ from deepmod_tpu.utils import ErrorCensus
 
 PRE_BASE_STR = "rnn.pred.ind"  # index-file infix (myDetect.py:39)
 
+# depth of the async chunk queue in WindowPredictor.predict/
+# _predict_compact: chunk i+k's host->device transfer overlaps chunk i's
+# compute + result fetch. 2 hides either side; deeper helps only when
+# per-call latency (not bandwidth or memory) dominates — tunable for
+# probes (device memory grows linearly with depth).
+_LOOKAHEAD = int(os.environ.get("DMT_PREDICT_LOOKAHEAD", "2"))
+
 
 @dataclasses.dataclass
 class DetectConfig:
@@ -358,7 +365,7 @@ class WindowPredictor:
             windows = windows.astype(dt)
         out = np.empty(n, np.int8)
         inflight: List[Tuple[int, int, Any]] = []  # (start, count, device arr)
-        lookahead = 2
+        lookahead = _LOOKAHEAD
 
         def drain(limit: int) -> None:
             while len(inflight) > limit:
@@ -488,7 +495,7 @@ class WindowPredictor:
         fn = self._get_compact_fn(pack)
         out = np.empty(n, np.int8)
         inflight: List[Tuple[int, int, np.ndarray, Any]] = []
-        lookahead = 2
+        lookahead = _LOOKAHEAD
 
         def drain(limit: int) -> None:
             while len(inflight) > limit:
