@@ -404,7 +404,8 @@ class WindowPredictor:
         return out
 
     def predict_from_features(
-        self, features: np.ndarray, centers: np.ndarray, window: int = 21
+        self, features: np.ndarray, centers: np.ndarray, window: int = 21,
+        assume_packable: bool = False,
     ) -> np.ndarray:
         """Classify windows cut from compact per-read feature blocks.
 
@@ -415,6 +416,11 @@ class WindowPredictor:
         views materialized here just before transfer. (An on-device
         gather variant measured 12x SLOWER on this hardware — 7-wide rows
         gather poorly on TPU — so transfer-then-classify stays.)
+
+        ``assume_packable``: skip the one-hot verification scan before
+        packed transfer — for ENGINE-BUILT feature blocks, whose leading
+        columns are 0/1 one-hots by construction. Library callers must
+        leave it False (arbitrary inputs are verified and fall back).
         """
         n = len(centers)
         if n == 0:
@@ -428,7 +434,9 @@ class WindowPredictor:
         # compact path, where shipping each row once beats shipping 21x
         # overlapping windows.
         if self.compact_transfer and n * window >= len(features):
-            return self._predict_compact(features, centers, window)
+            return self._predict_compact(
+                features, centers, window, assume_packable
+            )
         half = window // 2
         view = np.lib.stride_tricks.sliding_window_view(features, window, axis=0)
         windows = np.moveaxis(view[centers - half], 2, 1)
@@ -437,7 +445,8 @@ class WindowPredictor:
         return self.predict(windows.astype(self._transfer_dtype()))
 
     def _predict_compact(
-        self, features: np.ndarray, centers: np.ndarray, window: int
+        self, features: np.ndarray, centers: np.ndarray, window: int,
+        assume_packable: bool = False,
     ) -> np.ndarray:
         """Compact-transfer classification: ship (rows, fnum) feature
         blocks, build windows on device, classify EVERY window, keep the
@@ -477,19 +486,19 @@ class WindowPredictor:
         if self._pack_onehot:
             # pack the 4 one-hot columns into ONE uint8 code (7 bytes/row
             # instead of 14 in bf16). Engine-built features always
-            # qualify; arbitrary library inputs (cols 0..3 not a 0/1
-            # one-hot) fall back to the unpacked transfer so the packing
-            # can never change an answer.
+            # qualify (and pass assume_packable to skip the scan);
+            # arbitrary library inputs (cols 0..3 not a 0/1 one-hot) fall
+            # back to the unpacked transfer so the packing can never
+            # change an answer.
             onehot = np.asarray(features[:, :4], np.float32)
-            row_max = onehot.max(axis=1)
-            if (
+            if assume_packable or (
                 ((onehot == 0.0) | (onehot == 1.0)).all()
                 and (onehot.sum(axis=1) <= 1.0).all()
             ):
                 pack = True
                 # all-zero rows ('-'/'N' refbase, pad rows) -> code 4
                 codes = np.where(
-                    row_max != 0, onehot.argmax(axis=1), 4
+                    onehot.max(axis=1) != 0, onehot.argmax(axis=1), 4
                 ).astype(np.uint8)
                 rest = features[:, 4:]
         fn = self._get_compact_fn(pack)
@@ -608,7 +617,8 @@ def predict_batch_windows(
             results, target_base
         )
         preds_sel = predictor.predict_from_features(
-            all_features, all_centers, window=predictor.config.timesteps
+            all_features, all_centers, window=predictor.config.timesteps,
+            assume_packable=True,
         )
         return scatter_selected_preds(results, selections, preds_sel, n_total)
 
@@ -973,6 +983,7 @@ def _detect_run_inner(
                         preds_sel = predictor.predict_from_features(
                             feats, centers,
                             window=predictor.config.timesteps,
+                            assume_packable=True,
                         )
                     pool.send_preds(wid, bid, preds_sel)
                 elif kind == "outputs":

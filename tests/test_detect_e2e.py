@@ -642,6 +642,36 @@ def test_host_pool_worker_death_is_survivable(e2e, tmp_path):
     assert res.num_reads > 0
 
 
+def test_engine_compact_packed_bed_identity(e2e, tmp_path):
+    """The full engine through a compact_transfer predictor — the TPU
+    default, which takes the PACKED path with assume_packable=True from
+    the engine call sites — must emit byte-identical BEDs to the
+    window-transfer run."""
+    import dataclasses
+
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.tf_import import load_model
+
+    out, _, _, det, result = e2e
+    params, model_config = load_model(det.model_path)
+    pred = WindowPredictor(
+        params, model_config, buckets=(512, 4096), use_pallas=False,
+        data_parallel=False, compact_transfer=True, precision="fp32",
+    )
+    assert pred._pack_onehot
+    cfg = dataclasses.replace(
+        det, out_folder=str(tmp_path / "compact_out")
+    )
+    res = detect_run(cfg, pred)
+    assert True in pred._compact_fns  # the packed fn is what ran
+    assert sorted(os.path.basename(b) for b in res.bed_files) == sorted(
+        os.path.basename(b) for b in result.bed_files
+    )
+    for a, b in zip(sorted(result.bed_files), sorted(res.bed_files)):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), os.path.basename(a)
+
+
 def test_compact_transfer_bounds_guard():
     """Centers without a full window inside the feature block must raise,
     not classify zero-padded garbage (or wrap negative rows)."""
@@ -724,11 +754,14 @@ def test_host_pool_survives_crashed_run(e2e, tmp_path):
             self.inner = inner
             self.config = inner.config
 
-        def predict_from_features(self, feats, centers, window=21):
+        def predict_from_features(self, feats, centers, window=21,
+                                  **kwargs):
             ExplodingPredictor.calls += 1
             if ExplodingPredictor.calls == 1:
                 raise RuntimeError("injected device failure")
-            return self.inner.predict_from_features(feats, centers, window)
+            return self.inner.predict_from_features(
+                feats, centers, window, **kwargs
+            )
 
     model_config = BiLSTMConfig(num_input=7)
     params = init_bilstm_params(jax.random.PRNGKey(0), model_config)
