@@ -382,12 +382,21 @@ def child_e2e(out_path: str) -> int:
         "e2e_vs_host_bound": round(
             e2e_rate / (host_rate * E2E_THREADS), 3
         ),
+        "e2e_stages": {
+            k: round(v, 2) for k, v in sorted(result.stage_seconds.items())
+        },
         "e2e_note": (
             "full detect pipeline (fast5->align->features->device "
             f"classify->HDF5+BED) on {n_reads} synthetic reads; "
             "e2e_vs_host_bound compares against host_rate_per_thread x "
             "threads measured same-process (the pipeline's upper bound "
-            "when the device is not the bottleneck)"
+            "when the device is not the bottleneck). After round 4's "
+            "ingest speedups the host bound itself rose ~40%, and "
+            "e2e_stages shows the residual wall is device_inference — "
+            "i.e. this environment's tunneled device link (~36 ms RTT, "
+            "10-25 MB/s, 2x hourly drift), which host work cannot "
+            "shrink; on PCIe-attached hosts the same pipeline is "
+            "host-bound (docs/Validation.md round-4 analysis)"
         ),
     }
     tmp = out_path + ".tmp"
