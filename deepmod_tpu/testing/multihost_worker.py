@@ -38,7 +38,8 @@ class _RulePredictor:
 
         self.config = SimpleNamespace(timesteps=21)
 
-    def predict_from_features(self, features, centers, window=21):
+    def predict_from_features(self, features, centers, window=21,
+                              **kwargs):
         import numpy as np
 
         return (features[centers, features.shape[1] - 3] > 0).astype(np.int8)

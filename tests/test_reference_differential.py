@@ -161,7 +161,8 @@ class _RulePredictor:
 
     config = SimpleNamespace(timesteps=21)
 
-    def predict_from_features(self, features, centers, window=21):
+    def predict_from_features(self, features, centers, window=21,
+                              **kwargs):
         return (features[centers, features.shape[1] - 3] > 0).astype(np.int8)
 
 
