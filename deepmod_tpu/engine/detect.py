@@ -497,7 +497,11 @@ class WindowPredictor:
                     ((onehot_f == 0.0) | (onehot_f == 1.0)).all()
                     and (onehot_f.sum(axis=1) <= 1.0).all()
                 )
-            if check_ok:
+            # the integer-view trick below only exists for 2-/4-byte
+            # transfer dtypes; any other itemsize degrades to the
+            # unpacked transfer instead of crashing the predict path
+            itemsize = features.dtype.itemsize
+            if check_ok and itemsize in (2, 4):
                 pack = True
                 # four strided column compares on an unsigned integer
                 # view beat any argmax formulation ~6-10x (axis-1 argmax
@@ -505,7 +509,6 @@ class WindowPredictor:
                 # costs two full passes); the sign-bit mask keeps a
                 # hypothetical -0.0 reading as zero, like float compare.
                 # Rows with no hit ('-'/'N' refbase, pad rows) stay 4.
-                itemsize = features.dtype.itemsize
                 utype = np.uint16 if itemsize == 2 else np.uint32
                 sign_mask = utype(0x7FFF if itemsize == 2 else 0x7FFFFFFF)
                 codes = np.full(len(features), 4, np.uint8)

@@ -85,8 +85,14 @@ def collapse_events_v1(
         np.asarray(events["length"], np.float64) * sampling_rate
     ).astype(np.uint64)
 
-    means = np.asarray(events["mean"], np.float64)
-    stdvs = np.asarray(events["stdv"], np.float64)
+    # the reference rounds np.float64 structured-array elements
+    # (round(events_data['mean'][pre_i], 3), myDetect.py:199-231), which
+    # under py3/modern numpy is numpy scalar __round__ = rint(x*1000)/1000
+    # — NOT CPython's correctly-rounded decimal round (they differ at
+    # doubles adjacent to .0005 midpoints, e.g. 2.6755; pinned against
+    # the executed reference by tests/test_reference_differential.py)
+    means3 = np.round(np.asarray(events["mean"], np.float64), 3)
+    stdvs3 = np.round(np.asarray(events["stdv"], np.float64), 3)
 
     def state_of(i: int) -> str:
         s = events["model_state"][i]
@@ -103,8 +109,8 @@ def collapse_events_v1(
         if pre_i == move0_left:
             out.append(
                 (
-                    round(float(means[pre_i]), 3),
-                    round(float(stdvs[pre_i]), 3),
+                    float(means3[pre_i]),
+                    float(stdvs3[pre_i]),
                     first_idx,
                     cur_length,
                     state_of(pre_i),
@@ -114,8 +120,8 @@ def collapse_events_v1(
         cal_st = (starts_sec[pre_i] - starts_sec[move0_left]) * sampling_rate + based_ind
         prev_end = np.uint64(out[-1][2]) + np.uint64(out[-1][3])
         gap_f = cal_st - float(prev_end)
-        mean3 = round(float(means[pre_i]), 3)
-        stdv3 = round(float(stdvs[pre_i]), 3)
+        mean3 = float(means3[pre_i])
+        stdv3 = float(stdvs3[pre_i])
         st = state_of(pre_i)
         if cal_st > 0 and gap_f > 0 and np.uint64(gap_f) > 0:
             gap = np.uint64(gap_f)
@@ -146,6 +152,11 @@ def collapse_events_v2(events: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]
     (myDetect.py:239-259). Vectorized with reduceat over stay groups."""
     move = np.asarray(events["move"])
     n = len(events)
+    if n == 0:
+        # reduceat on an empty table would raise a raw IndexError (the
+        # reference crashes the same way at myDetect.py:243); surface the
+        # standard error class so the census counts the file instead
+        raise EventError("No events data")
     # group leaders: event 0 plus every later non-stay event
     leaders = np.flatnonzero(move > 0)
     if len(leaders) == 0 or leaders[0] != 0:

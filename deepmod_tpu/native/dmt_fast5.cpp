@@ -508,32 +508,17 @@ void dmt_f5_events_collapsed_v2(void* h, char* dst) {
   memcpy(out + 16, &acc_len, 8);
 }
 
-// python round(float(x), 3) — CPython's correctly-rounded decimal round,
-// which differs from numpy's rint(x*1000)/1000 near .0005 boundaries
-// (the v1 collapse uses the python builtin; the v2 one uses np.round).
-// Exactness argument: x*2000 is exactly representable in an 80-bit long
-// double (53-bit mantissa x 125 needs 60 bits), and the integer midpoints
-// 2k±1 are exact too, so the candidate comparison below reproduces the
-// correctly-rounded result; a binary double can never sit exactly on a
-// .0005 decimal midpoint, so python's half-even tie rule never fires.
-static double py_round3(double x) {
+// round(np.float64 scalar, 3): the reference rounds np.float64
+// structured-array elements (myDetect.py:199-231), and under py3/modern
+// numpy the scalar __round__ is numpy's rint(x*1000)/1000 — NOT
+// CPython's correctly-rounded decimal round (they differ at doubles
+// adjacent to .0005 midpoints, e.g. 2.6755 -> 2.676 vs 2.675). Pinned
+// against the EXECUTED reference by a crafted near-midpoint fixture in
+// tests/test_reference_differential.py; the half-even tie rule of
+// nearbyint under the default FE_TONEAREST mode matches np.rint.
+static double np_round3(double x) {
   if (!std::isfinite(x)) return x;
-  const double k0 = std::nearbyint(x * 1000.0);
-  const long double x2000 = (long double)x * 2000.0L;
-  double best_k = k0;
-  long double best_d = -1.0L;
-  for (int dk = -1; dk <= 1; ++dk) {
-    const double k = k0 + dk;
-    long double d = x2000 - 2.0L * (long double)k;
-    if (d < 0) d = -d;
-    if (best_d < 0 || d < best_d ||
-        (d == best_d && std::fmod(k, 2.0) == 0.0)) {
-      best_d = d;
-      best_k = k;
-    }
-  }
-  const double r = best_k / 1000.0;
-  return best_k == 0.0 ? std::copysign(r, x) : r;
+  return std::nearbyint(x * 1000.0) / 1000.0;
 }
 
 // Collapsed Albacore-v1 events (seconds -> sample indices, stay collapse,
@@ -592,8 +577,8 @@ long long dmt_f5_events_collapsed_v1(void* h, double sampling_rate,
   long long count = 0;
   uint64_t prev_end = 0;  // start+length of the last emitted record
   auto put = [&](long long src_i, uint64_t start, uint64_t length) {
-    const float m3 = (float)py_round3(f64_at(src_i, EV_MEAN));
-    const float s3 = (float)py_round3(f64_at(src_i, EV_STDV));
+    const float m3 = (float)np_round3(f64_at(src_i, EV_MEAN));
+    const float s3 = (float)np_round3(f64_at(src_i, EV_STDV));
     char* p = out + count * OUT_STRIDE;
     memcpy(p + 0, &m3, 4);
     memcpy(p + 4, &s3, 4);

@@ -252,6 +252,8 @@ def read_fast5_native(path: str, options=None):
                     1,
                 )
                 if options.signal_group == "simple":
+                    # n_ev == 0 routes here; collapse_events_v2 raises
+                    # EventError("No events data") for the empty table
                     m_event, skip = collapse_events_v2(events)
                 else:
                     m_event, skip = resegment_events(

@@ -979,3 +979,113 @@ def test_cli_flag_parity_differential():
             if ref_flag0 != our_flag0:
                 mismatches.append(f"{cmd} {opt}: arity differs")
     assert not mismatches, "\n".join(mismatches)
+
+
+def test_v1_collapse_round_semantics_differential(tmp_path):
+    """Pin WHICH round the reference's v1 collapse actually executes on
+    event means/stdvs (myDetect.py:199-231): ``round(np.float64, 3)``
+    under py3/modern numpy is numpy scalar ``__round__`` =
+    rint(x*1000)/1000, which differs from CPython's decimal round at
+    doubles adjacent to .0005 midpoints (2.6755 -> 2.676 vs 2.675) and at
+    exactly-representable midpoints ((2k+1)/2000 with 125 | 2k+1, e.g.
+    0.0625 -> half-even 0.062). Crafted means drive the reference's own
+    getEvent as oracle against collapse_events_v1 AND the C collapse.
+
+    The collapse-time rounds are normally overwritten by the per-event
+    stats pass (myDetect.py:342-343), so only a unit-level differential
+    can observe them."""
+    md = ref_oracle.modules()
+    moptions = ref_oracle.base_moptions()
+
+    # means/stdvs at CPython-vs-numpy divergence points plus fuzz
+    crafted = [2.6755, 0.0625, 0.1875, 2.5755, 0.4445, 1.0005, -2.6755,
+               0.5615, 0.0005, -0.0005]
+    rng = np.random.RandomState(3)
+    n = 64
+    means = np.asarray(
+        crafted + list((2 * rng.randint(0, 5000, n - len(crafted)) + 1)
+                       / 2000.0)
+    )
+    stdvs = means[::-1].copy()
+    rate = 4000.0
+    starts_sec = np.cumsum(np.full(n, 6)) / rate
+    lens_sec = np.full(n, 6) / rate
+    move = np.ones(n, np.int64)
+    move[10] = 0  # one stay so the collapse path is non-trivial
+    events = np.zeros(n, dtype=[
+        ("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"),
+        ("length", "<f8"), ("model_state", "S5"), ("move", "<i8"),
+    ])
+    events["mean"] = means
+    events["stdv"] = stdvs
+    events["start"] = starts_sec
+    events["length"] = lens_sec
+    events["model_state"] = b"ACGTA"
+    events["move"] = move
+
+    class _DS:
+        def __init__(self, arr):
+            self.value = arr
+
+    event_path = "/Analyses/Basecall_1D_000/BaseCalled_template/Events"
+    sp_param = {
+        "f5status": "",
+        "f5reader": {event_path: _DS(events)},
+        "channel_info": {"sampling_rate": rate},
+        "raw_attributes": {"start_time": 0},
+        "mfile_path": "crafted",
+        "used_albacore_version": 1,
+    }
+    md.myDetect.getEvent(moptions, sp_param)
+    assert sp_param["f5status"] == "", sp_param
+    ref_event = sp_param["m_event"]
+
+    from deepmod_tpu.io.events import collapse_events_v1
+
+    mine, _skip = collapse_events_v1(events, rate, 0)
+    assert len(mine) == len(ref_event)
+    np.testing.assert_array_equal(ref_event["mean"], mine["mean"])
+    np.testing.assert_array_equal(ref_event["stdv"], mine["stdv"])
+    np.testing.assert_array_equal(ref_event["start"], mine["start"])
+    np.testing.assert_array_equal(ref_event["length"], mine["length"])
+
+    # the C v1 collapse on a real file carrying the same crafted table
+    from deepmod_tpu.native.fast5_native import native_fast5_available
+
+    if not native_fast5_available():
+        pytest.skip("native fast5 reader unavailable")
+    import ctypes
+
+    import h5py
+
+    from deepmod_tpu.io.events import EVENT_DTYPE
+    from deepmod_tpu.native import fast5_native
+
+    _, reads = generate_dataset(
+        str(tmp_path),
+        SynthConfig(genome_sizes={"chrN": 4000}, num_reads=1,
+                    read_length=(200, 300), seed=47, fast5_style="v1"),
+    )
+    with h5py.File(reads[0].path, "r+") as fh:
+        key = "Analyses/Basecall_1D_000/BaseCalled_template/Events"
+        del fh[key]
+        fh.create_dataset(key, data=events)
+    lib = fast5_native._load()
+    handle = lib.dmt_f5_open(
+        reads[0].path.encode(), b"Basecall_1D_000", b"BaseCalled_template", 0
+    )
+    try:
+        assert lib.dmt_f5_status(handle) == 0
+        buf = np.empty(2 * n + 2, EVENT_DTYPE)
+        skl = ctypes.c_longlong()
+        skr = ctypes.c_longlong()
+        cnt = int(lib.dmt_f5_events_collapsed_v1(
+            handle, rate, 0,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+            ctypes.byref(skl), ctypes.byref(skr),
+        ))
+    finally:
+        lib.dmt_f5_free(handle)
+    assert cnt == len(ref_event)
+    np.testing.assert_array_equal(ref_event["mean"], buf[:cnt]["mean"])
+    np.testing.assert_array_equal(ref_event["stdv"], buf[:cnt]["stdv"])
