@@ -230,6 +230,11 @@ class WindowPredictor:
             and os.environ.get("DMT_COMPACT_PACK", "1") != "0"
         )
         self._compact_fns: dict = {}
+        # host->device payload bytes dispatched (features/windows only;
+        # the int8 result fetch is negligible). Monotonic across calls —
+        # callers snapshot before/after to attribute a run's traffic
+        # (bench.py derives measured link MB/s from it).
+        self.transfer_bytes = 0
 
     def _get_compact_fn(self, pack: bool):
         """Jitted (rows, F) -> (rows,) predictions (``pack``: the packed
@@ -381,12 +386,14 @@ class WindowPredictor:
         # (~75% waste) or descending through every level (8 calls — each
         # result fetch pays the tunnel's host-sync RTT)
         max_waste = max(self.buckets[0], n >> 6)
+        row_bytes = windows[:1].nbytes
         for b in reversed(self.buckets):
             while n - done >= b:
                 inflight.append(
                     (done, b, self._fn(self.params, jnp.asarray(windows[done : done + b])))
                 )
                 done += b
+                self.transfer_bytes += b * row_bytes
                 drain(lookahead)
             rem = n - done
             if rem == 0 or self._bucket_for(rem) - rem <= max_waste:
@@ -400,6 +407,7 @@ class WindowPredictor:
                 tail = np.zeros((bucket,) + windows.shape[1:], windows.dtype)
                 tail[:rem] = windows[done:]
             inflight.append((done, rem, self._fn(self.params, jnp.asarray(tail))))
+            self.transfer_bytes += bucket * row_bytes
         drain(0)
         return out
 
@@ -560,6 +568,7 @@ class WindowPredictor:
                     self.params, jnp.asarray(c_chunk),
                     jnp.asarray(np.ascontiguousarray(r_chunk)),
                 )
+                self.transfer_bytes += c_chunk.nbytes + r_chunk.nbytes
             else:
                 chunk = features[row0 : row0 + bucket]
                 if len(chunk) < bucket:
@@ -569,6 +578,7 @@ class WindowPredictor:
                     pad[: len(chunk)] = chunk
                     chunk = pad
                 pred = fn(self.params, jnp.asarray(chunk))
+                self.transfer_bytes += chunk.nbytes
             inflight.append((i, j, idx, pred))
             i = j
             drain(lookahead)
