@@ -229,6 +229,17 @@ class WindowPredictor:
             config.num_input == 7
             and os.environ.get("DMT_COMPACT_PACK", "1") != "0"
         )
+        # fnum=57: the 50 histogram columns are small nonnegative counts
+        # — when every value in a call is an integer < 256 (checked; one
+        # >=256 count falls back to the unpacked transfer) they ride as
+        # uint8 alongside the one-hot code: 57 B/row vs 114 B in bf16.
+        # uint8 -> bf16 is exact for ints < 256 (8 significand bits), so
+        # predictions stay bit-identical. Equality pinned by
+        # tests/test_detect_e2e.py; measured scripts/probe_compact_pack.py.
+        self._pack_hist = (
+            config.num_input == 57
+            and os.environ.get("DMT_COMPACT_PACK", "1") != "0"
+        )
         self._compact_fns: dict = {}
         # host->device payload bytes dispatched (features/windows only;
         # the int8 result fetch is negligible). Monotonic across calls —
@@ -257,6 +268,14 @@ class WindowPredictor:
                 # LUT gather is exact 0/1 in any dtype
                 return jnp.concatenate(
                     [jnp.asarray(lut, rest.dtype)[codes], rest], axis=1
+                )
+
+            def _assemble_hist(hist_u8, codes, rest):
+                # fnum=57: [hist(50) | onehot(4) | mean stdv length];
+                # uint8 -> feature dtype is exact for counts < 256
+                return jnp.concatenate(
+                    [hist_u8.astype(rest.dtype),
+                     jnp.asarray(lut, rest.dtype)[codes], rest], axis=1
                 )
 
             # multi-device build: jnp.roll keeps the row count unchanged
@@ -291,7 +310,18 @@ class WindowPredictor:
                         check_vma=False,
                     )
 
-                if pack:
+                if pack == "hist":
+                    def _pred_compact(p, hist_u8, codes, rest):
+                        return _kernel(
+                            p, _windows(_assemble_hist(hist_u8, codes, rest))
+                        )
+
+                    self._compact_fns[pack] = jax.jit(
+                        _pred_compact,
+                        in_shardings=(replicated, sharded, sharded, sharded),
+                        out_shardings=sharded,
+                    )
+                elif pack:
                     def _pred_compact(p, codes, rest):
                         return _kernel(p, _windows(_assemble(codes, rest)))
 
@@ -317,7 +347,17 @@ class WindowPredictor:
                         axis=1,
                     )
 
-                if pack:
+                if pack == "hist":
+                    def _pred_compact(p, hist_u8, codes, rest):
+                        win = _window_slices(
+                            _assemble_hist(hist_u8, codes, rest)
+                        )
+                        return bilstm_predict(
+                            p, win, self.config,
+                            use_pallas=self.use_pallas,
+                            precision=self.precision,
+                        )
+                elif pack:
                     def _pred_compact(p, codes, rest):
                         win = _window_slices(_assemble(codes, rest))
                         return bilstm_predict(
@@ -490,8 +530,34 @@ class WindowPredictor:
         dt = self._transfer_dtype()
         if features.dtype != dt:
             features = features.astype(dt)
-        pack = False
-        if self._pack_onehot:
+        pack: Any = False
+        if self._pack_hist:
+            # fnum=57 feature columns: [hist 0..49 | onehot 50..53 |
+            # mean stdv length 54..56] (features/builder.py layout).
+            # Counts must be integers < 256 for the uint8 ride-along;
+            # engine-built histograms are integral by construction
+            # (assume_packable), arbitrary inputs are verified.
+            itemsize = features.dtype.itemsize
+            hist = features[:, :50]
+            check_ok = bool((hist < 256).all()) and itemsize in (2, 4)
+            if check_ok and not assume_packable:
+                hf = np.asarray(hist, np.float32)
+                onehot_f = np.asarray(features[:, 50:54], np.float32)
+                check_ok = bool(
+                    (hf >= 0).all() and (hf == np.floor(hf)).all()
+                    and ((onehot_f == 0.0) | (onehot_f == 1.0)).all()
+                    and (onehot_f.sum(axis=1) <= 1.0).all()
+                )
+            if check_ok:
+                pack = "hist"
+                utype = np.uint16 if itemsize == 2 else np.uint32
+                sign_mask = utype(0x7FFF if itemsize == 2 else 0x7FFFFFFF)
+                codes = np.full(len(features), 4, np.uint8)
+                for k in range(3, -1, -1):
+                    col = features[:, 50 + k].view(utype)
+                    codes[(col & sign_mask) != 0] = k
+                rest = features[:, 54:]
+        elif self._pack_onehot:
             # pack the 4 one-hot columns into ONE uint8 code (7 bytes/row
             # instead of 14 in bf16). Engine-built features always
             # qualify (and pass assume_packable to skip the scan);
@@ -510,7 +576,7 @@ class WindowPredictor:
             # unpacked transfer instead of crashing the predict path
             itemsize = features.dtype.itemsize
             if check_ok and itemsize in (2, 4):
-                pack = True
+                pack = "onehot"
                 # four strided column compares on an unsigned integer
                 # view beat any argmax formulation ~6-10x (axis-1 argmax
                 # over tiny rows is slow, and bf16->f32 materialization
@@ -564,10 +630,23 @@ class WindowPredictor:
                     rpad = np.zeros((bucket, rest.shape[1]), rest.dtype)
                     rpad[: len(r_chunk)] = r_chunk
                     c_chunk, r_chunk = cpad, rpad
-                pred = fn(
-                    self.params, jnp.asarray(c_chunk),
-                    jnp.asarray(np.ascontiguousarray(r_chunk)),
-                )
+                if pack == "hist":
+                    h_chunk = hist[row0 : row0 + bucket].astype(np.uint8)
+                    if len(h_chunk) < bucket:
+                        hpad = np.zeros((bucket, 50), np.uint8)
+                        hpad[: len(h_chunk)] = h_chunk
+                        h_chunk = hpad
+                    pred = fn(
+                        self.params, jnp.asarray(h_chunk),
+                        jnp.asarray(c_chunk),
+                        jnp.asarray(np.ascontiguousarray(r_chunk)),
+                    )
+                    self.transfer_bytes += h_chunk.nbytes
+                else:
+                    pred = fn(
+                        self.params, jnp.asarray(c_chunk),
+                        jnp.asarray(np.ascontiguousarray(r_chunk)),
+                    )
                 self.transfer_bytes += c_chunk.nbytes + r_chunk.nbytes
             else:
                 chunk = features[row0 : row0 + bucket]

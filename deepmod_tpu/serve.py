@@ -21,13 +21,98 @@ Start:  python -m deepmod_tpu serve --Ref ref.fa --modfile m.npz --port 8765
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 
+class _DeviceCoalescer:
+    """Batches concurrent requests' windows into ONE device call.
+
+    Under concurrency the device stage dominates request latency (each
+    call pays the link round trip — ~36 ms on this tunnel — plus
+    compute), and a single-flight lock makes p50 grow linearly with the
+    client count. A dispatcher thread drains every request currently
+    queued, concatenates their host results into one
+    predict_batch_windows call (the predictor already buckets arbitrary
+    batch sizes), and splits the predictions back per request — so k
+    concurrent requests pay ~one device call instead of k.
+    """
+
+    def __init__(self, predictor):
+        self._predictor = predictor
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def classify(self, results):
+        """HostReadResult list -> per-window int8 predictions (ordered
+        like the results); blocks until the coalesced call completes."""
+        back: queue.Queue = queue.Queue()
+        self._q.put((results, back))
+        out = back.get()
+        if isinstance(out, Exception):
+            raise out
+        return out
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        import numpy as np
+
+        from deepmod_tpu.engine.detect import predict_batch_windows
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            # drain everything already queued (DMT_SERVE_COALESCE=0
+            # forces single-flight for A/B probes); a ~4 ms grace pass
+            # catches requests whose host stage finishes just behind the
+            # first one — on the tunneled link one extra wait beats a
+            # whole extra device round trip
+            import os as _os
+            import time as _time
+
+            if _os.environ.get("DMT_SERVE_COALESCE", "1") != "0":
+                deadline = _time.monotonic() + 0.004
+                while True:
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        if _time.monotonic() < deadline:
+                            _time.sleep(0.001)
+                            continue
+                        break
+                    if nxt is None:
+                        self._q.put(None)  # re-arm shutdown
+                        break
+                    batch.append(nxt)
+                    deadline = _time.monotonic() + 0.004
+            all_results = [r for results, _ in batch for r in results]
+            try:
+                preds = (
+                    predict_batch_windows(all_results, self._predictor)
+                    if all_results else np.empty(0, np.int8)
+                )
+            except Exception as exc:  # deliver to every waiter
+                for _, back in batch:
+                    back.put(exc)
+                continue
+            off = 0
+            for results, back in batch:
+                n = int(sum(r.n_aligned for r in results))
+                back.put(preds[off : off + n])
+                off += n
+
+
 class DetectService:
-    """Holds the warm model + aligner; thread-safe single-flight detect."""
+    """Holds the warm model + aligner; concurrent requests coalesce
+    their device work into shared batches (_DeviceCoalescer)."""
 
     def __init__(self, ref: str, model_path: str, base: str = "C",
                  align_str: str = "builtin", fnum: int = 7,
@@ -66,9 +151,13 @@ class DetectService:
             from deepmod_tpu.engine.host_pool import HostPool
 
             self._pool = HostPool(threads, self._host_opts)
-        self._lock = threading.Lock()
+        # the host stage shares one pool / one in-process aligner — keep
+        # it single-flight; the DEVICE stage coalesces across requests
+        self._host_lock = threading.Lock()
+        self._coalescer = _DeviceCoalescer(self.predictor)
 
     def close(self) -> None:
+        self._coalescer.close()
         if self._pool is not None:
             self._pool.close()
             self._pool = None
@@ -103,51 +192,50 @@ class DetectService:
         return results, merged_errors
 
     def detect(self, fast5_paths):
-        with self._lock:
+        with self._host_lock:
             results, errors = self._host_stage(list(fast5_paths))
-            reads_out = []
-            positions = {}
-            if results:
-                import numpy as np
+        reads_out = []
+        positions = {}
+        if results:
+            import numpy as np
 
-                from deepmod_tpu.engine.detect import predict_batch_windows
-
-                # the same device stage the detect engine runs — one
-                # implementation, so windowing fixes cannot diverge
-                preds = predict_batch_windows(results, self.predictor)
-                off = 0
-                for r in results:
-                    p = preds[off : off + r.n_aligned]
-                    off += r.n_aligned
-                    nongap = np.flatnonzero(r.base_map["readbase"] != "-")
-                    r.base_map["mod_pred"][nongap[p == 1]] = 1
-                    bm = r.base_map
-                    sel = (bm["refbase"] == self.base) & (bm["readbase"] != "-")
-                    for pos, mod in zip(
-                        bm["refbasei"][sel].astype(int),
-                        bm["mod_pred"][sel].astype(int),
-                    ):
-                        key = (r.rname, r.strand, int(pos))
-                        cov, m = positions.get(key, (0, 0))
-                        positions[key] = (cov + 1, m + (1 if mod == 1 else 0))
-                    reads_out.append(
-                        {
-                            "read_id": r.read_id,
-                            "chrom": r.rname,
-                            "strand": r.strand,
-                            "pos0": r.pos0,
-                            "n_aligned": int(r.n_aligned),
-                            "pred_mod_num": int((p == 1).sum()),
-                        }
-                    )
-            return {
-                "reads": reads_out,
-                "positions": [
-                    [c, s, p, cov, mod]
-                    for (c, s, p), (cov, mod) in sorted(positions.items())
-                ],
-                "errors": errors,
-            }
+            # the same device stage the detect engine runs (through the
+            # cross-request coalescer) — one implementation, so
+            # windowing fixes cannot diverge
+            preds = self._coalescer.classify(results)
+            off = 0
+            for r in results:
+                p = preds[off : off + r.n_aligned]
+                off += r.n_aligned
+                nongap = np.flatnonzero(r.base_map["readbase"] != "-")
+                r.base_map["mod_pred"][nongap[p == 1]] = 1
+                bm = r.base_map
+                sel = (bm["refbase"] == self.base) & (bm["readbase"] != "-")
+                for pos, mod in zip(
+                    bm["refbasei"][sel].astype(int),
+                    bm["mod_pred"][sel].astype(int),
+                ):
+                    key = (r.rname, r.strand, int(pos))
+                    cov, m = positions.get(key, (0, 0))
+                    positions[key] = (cov + 1, m + (1 if mod == 1 else 0))
+                reads_out.append(
+                    {
+                        "read_id": r.read_id,
+                        "chrom": r.rname,
+                        "strand": r.strand,
+                        "pos0": r.pos0,
+                        "n_aligned": int(r.n_aligned),
+                        "pred_mod_num": int((p == 1).sum()),
+                    }
+                )
+        return {
+            "reads": reads_out,
+            "positions": [
+                [c, s, p, cov, mod]
+                for (c, s, p), (cov, mod) in sorted(positions.items())
+            ],
+            "errors": errors,
+        }
 
 
 def make_handler(service: DetectService):

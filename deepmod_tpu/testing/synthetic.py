@@ -45,6 +45,14 @@ class SynthConfig:
     mod_motif: Optional[str] = None     # e.g. "CG"
     mod_offset: int = 0
     mod_level_shift: float = 0.0        # added to signal level at mod bases
+    # per-site methylation probabilities keyed by the + strand C position
+    # of each CpG dyad (chrom -> float array over genome positions):
+    # every read draws an independent Bernoulli per covered dyad, on
+    # either strand — the partial, spatially-correlated methylation
+    # landscape the cluster-effect second stage exploits
+    # (hm_cluster_predict.py:130-154 reads ±25 bp neighbor fractions).
+    # Overrides mod_motif-based masking; still uses mod_level_shift.
+    mod_site_prob: Optional[Dict[str, np.ndarray]] = None
     seed: int = 0
     # fast5 flavor: 'v2' (albacore 2.x events), 'v1' (albacore 1.x,
     # second-based starts), 'move' (guppy move table)
@@ -79,8 +87,12 @@ def simulate_read(
     rng: np.random.RandomState,
     genome: Dict[str, str],
     config: SynthConfig,
-) -> Tuple[str, str, int, str, str]:
-    """Returns (chrom, strand, start, ref_segment, read_seq)."""
+    return_ref_pos: bool = False,
+):
+    """Returns (chrom, strand, start, ref_segment, read_seq); with
+    ``return_ref_pos`` also the genome position of each read base
+    (-1 for inserted bases) — needed to apply per-REFERENCE-site
+    modification probabilities through the read's errors."""
     chrom = list(genome)[rng.randint(len(genome))]
     ref = genome[chrom]
     length = rng.randint(*config.read_length)
@@ -88,20 +100,32 @@ def simulate_read(
     segment = ref[start : start + length]
     strand = "+" if rng.rand() < 0.5 else "-"
     template = segment if strand == "+" else reverse_complement(segment)
+    n_tpl = len(template)
     out: List[str] = []
-    for ch in template:
+    ref_pos: List[int] = []
+
+    def gpos(ti: int) -> int:
+        return start + (ti if strand == "+" else n_tpl - 1 - ti)
+
+    for ti, ch in enumerate(template):
         r = rng.rand()
         if r < config.del_rate:
             continue
         if r < config.del_rate + config.ins_rate:
             out.append(ch)
+            ref_pos.append(gpos(ti))
             out.append(str(rng.choice(BASES)))
+            ref_pos.append(-1)
             continue
         if r < config.del_rate + config.ins_rate + config.sub_rate:
             out.append(str(rng.choice([b for b in "ACGT" if b != ch])))
         else:
             out.append(ch)
-    return chrom, strand, start, segment, "".join(out)
+        ref_pos.append(gpos(ti))
+    seq = "".join(out)
+    if return_ref_pos:
+        return chrom, strand, start, segment, seq, np.asarray(ref_pos)
+    return chrom, strand, start, segment, seq
 
 
 def _kmer_level(kmer: str) -> float:
@@ -122,16 +146,90 @@ def _mod_positions(seq: str, motif: str, offset: int) -> np.ndarray:
     return np.asarray(hits, np.int64)
 
 
+def make_clustered_site_prob(
+    rng: np.random.RandomState,
+    genome: Dict[str, str],
+    tile: int = 250,
+    p_meth_tile: float = 0.5,
+    meth_range: Tuple[float, float] = (0.7, 0.95),
+    unmeth_range: Tuple[float, float] = (0.02, 0.15),
+) -> Dict[str, np.ndarray]:
+    """Spatially-correlated CpG methylation landscape.
+
+    The genome is tiled; each tile is methylated with ``p_meth_tile``,
+    and every CpG dyad (keyed by its + strand C position) draws its
+    per-read methylation probability from the tile's range. Nearby CpGs
+    therefore share methylation state — exactly the neighborhood signal
+    the cluster-effect second stage conditions on
+    (hm_cluster_predict.py:130-154: ±25 bp neighbor fraction histogram).
+    Use with SynthConfig.mod_site_prob + mod_level_shift.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for chrom, seq in genome.items():
+        arr = np.frombuffer(seq.encode(), np.uint8)
+        dyads = np.flatnonzero((arr[:-1] == ord("C")) & (arr[1:] == ord("G")))
+        probs = np.zeros(len(seq))
+        tile_meth = rng.rand((len(seq) // tile) + 1) < p_meth_tile
+        site_tile = dyads // tile
+        lo = np.where(tile_meth[site_tile], meth_range[0], unmeth_range[0])
+        hi = np.where(tile_meth[site_tile], meth_range[1], unmeth_range[1])
+        probs[dyads] = lo + rng.rand(len(dyads)) * (hi - lo)
+        out[chrom] = probs
+    return out
+
+
+def _site_prob_mask(
+    rng: np.random.RandomState,
+    genome_seq: str,
+    probs: np.ndarray,
+    strand: str,
+    ref_pos: np.ndarray,
+) -> np.ndarray:
+    """Per-read Bernoulli modification mask over read bases whose
+    reference position is a CpG-dyad C on the read's strand."""
+    n = len(ref_pos)
+    mask = np.zeros(n, bool)
+    if n == 0 or len(probs) < len(genome_seq):
+        return mask
+    arr = np.frombuffer(genome_seq.encode(), np.uint8)
+    L = len(arr)
+    gp = ref_pos
+    valid = gp >= 0
+    gpc = np.clip(gp, 0, L - 1)
+    if strand == "+":
+        is_site = (
+            valid & (gp + 1 < L)
+            & (arr[gpc] == ord("C"))
+            & (arr[np.clip(gp + 1, 0, L - 1)] == ord("G"))
+        )
+        p = probs[gpc]
+    else:
+        is_site = (
+            valid & (gp > 0)
+            & (arr[gpc] == ord("G"))
+            & (arr[np.clip(gp - 1, 0, L - 1)] == ord("C"))
+        )
+        p = probs[np.clip(gp - 1, 0, L - 1)]
+    mask[is_site] = rng.rand(int(is_site.sum())) < p[is_site]
+    return mask
+
+
 def synth_signal(
-    rng: np.random.RandomState, seq: str, config: SynthConfig
+    rng: np.random.RandomState, seq: str, config: SynthConfig,
+    mod_mask: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str], np.ndarray]:
-    """Per-base signal; returns (signal, starts, lengths, kmers, move)."""
+    """Per-base signal; returns (signal, starts, lengths, kmers, move).
+
+    ``mod_mask`` (bool per read base) overrides the motif scan — used by
+    the per-site-probability landscape, where modification depends on
+    REFERENCE position, not read sequence."""
     padded = "NN" + seq + "NN"
     n = len(seq)
-    mod_mask = np.zeros(n, bool)
-    if config.mod_motif and config.mod_level_shift:
-        pos = _mod_positions(seq, config.mod_motif, config.mod_offset)
-        mod_mask[pos] = True
+    if mod_mask is None:
+        mod_mask = np.zeros(n, bool)
+        if config.mod_motif and config.mod_level_shift:
+            pos = _mod_positions(seq, config.mod_motif, config.mod_offset)
+            mod_mask[pos] = True
 
     lengths = rng.randint(
         config.samples_per_base[0], config.samples_per_base[1] + 1, n
@@ -174,11 +272,14 @@ def write_read_fast5(
     seq: str,
     rng: np.random.RandomState,
     config: SynthConfig,
+    mod_mask: Optional[np.ndarray] = None,
 ) -> None:
     """Write one single-read fast5 in the configured flavor."""
     import h5py
 
-    signal, starts, lengths, kmers, move = synth_signal(rng, seq, config)
+    signal, starts, lengths, kmers, move = synth_signal(
+        rng, seq, config, mod_mask
+    )
     n = len(seq)
 
     if config.fast5_style == "move":
@@ -395,10 +496,19 @@ def generate_dataset(
                 batch_no += 1
         return genome, reads
     for i in range(config.num_reads):
-        chrom, strand, start, segment, seq = simulate_read(rng, genome, config)
+        chrom, strand, start, segment, seq, ref_pos = simulate_read(
+            rng, genome, config, return_ref_pos=True
+        )
+        mod_mask = None
+        if config.mod_site_prob is not None and config.mod_level_shift:
+            mod_mask = _site_prob_mask(
+                rng, genome[chrom],
+                config.mod_site_prob.get(chrom, np.zeros(0)),
+                strand, ref_pos,
+            )
         read_id = f"synthread_{i:04d}"
         path = os.path.join(out_dir, "fast5", f"{read_id}.fast5")
-        write_read_fast5(path, read_id, seq, rng, config)
+        write_read_fast5(path, read_id, seq, rng, config, mod_mask)
         reads.append(
             SimulatedRead(read_id, chrom, strand, start, segment, seq, path)
         )

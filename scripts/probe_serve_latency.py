@@ -74,11 +74,62 @@ def main() -> None:
                 "best_ms": round(1e3 * lat[0], 1),
             })
             print(json.dumps(rows[-1]), flush=True)
+
+        # concurrent clients: N threads each sending one 1-read request
+        # at once; the device-stage coalescer should keep p50 growing
+        # sub-linearly vs the serial single-request latency (VERDICT r4
+        # #7 — a single-flight service would be ~N x)
+        import threading
+
+        conc_rows = []
+        serial_p50 = rows[0]["p50_ms"]
+        for n_clients, coalesce in ((2, True), (4, True), (8, True),
+                                    (8, False), (8, True)):
+            # same-process A/B: 8 clients with the coalescer forced to
+            # single-flight, bracketed by coalesced runs (tunnel drift
+            # makes cross-process comparisons meaningless)
+            os.environ["DMT_SERVE_COALESCE"] = "1" if coalesce else "0"
+            batch_files = (files * ((n_clients // len(files)) + 1))[:n_clients]
+            for _ in range(2):  # warm
+                svc.detect(batch_files[:1])
+            lats = []
+            for _rep in range(args.requests):
+                per = [None] * n_clients
+                barrier = threading.Barrier(n_clients)
+
+                def hit(i, path):
+                    barrier.wait()
+                    t0 = time.perf_counter()
+                    svc.detect([path])
+                    per[i] = time.perf_counter() - t0
+
+                threads = [
+                    threading.Thread(target=hit, args=(i, p))
+                    for i, p in enumerate(batch_files)
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                lats.extend(per)
+            lats.sort()
+            row = {
+                "concurrent_clients": n_clients,
+                "coalesce": coalesce,
+                "p50_ms": round(1e3 * lats[len(lats) // 2], 1),
+                "p90_ms": round(1e3 * lats[int(len(lats) * 0.9)], 1),
+                "vs_serial_p50": round(
+                    1e3 * lats[len(lats) // 2] / serial_p50, 2
+                ),
+            }
+            conc_rows.append(row)
+            print(json.dumps(row), flush=True)
         print(json.dumps({
             "metric": "serve_request_latency",
             "backend": jax.default_backend(),
             "service_startup_s": round(startup_s, 2),
             "rows": rows,
+            "concurrent": conc_rows,
         }), flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -466,7 +466,7 @@ def test_predictor_packed_compact_equality():
             compact_transfer=False, **kw,
         )
         got = packed.predict_from_features(feats, centers)
-        assert True in packed._compact_fns  # the packed fn really ran
+        assert "onehot" in packed._compact_fns  # the packed fn really ran
         want = win.predict_from_features(feats, centers)
         np.testing.assert_array_equal(
             got, want, err_msg=f"pallas={use_pallas}"
@@ -663,7 +663,7 @@ def test_engine_compact_packed_bed_identity(e2e, tmp_path):
         det, out_folder=str(tmp_path / "compact_out")
     )
     res = detect_run(cfg, pred)
-    assert True in pred._compact_fns  # the packed fn is what ran
+    assert "onehot" in pred._compact_fns  # the packed fn is what ran
     assert sorted(os.path.basename(b) for b in res.bed_files) == sorted(
         os.path.basename(b) for b in result.bed_files
     )
@@ -785,3 +785,73 @@ def test_host_pool_survives_crashed_run(e2e, tmp_path):
     # the reference predictor here is the same weights as the fixture's
     for b1, b2 in zip(sorted(result.bed_files), sorted(res.bed_files)):
         assert open(b1).read() == open(b2).read()
+
+
+def test_predictor_packed_hist_equality():
+    """fnum=57 packed compact transfer: the 50 histogram count columns
+    ride as uint8 (exact in bf16 for ints < 256) plus the one-hot code —
+    57 B/row instead of 114 in bf16. Must match the unpacked compact and
+    window-transfer paths exactly; a count >= 256 or fractional/negative
+    histogram values must fall back to the unpacked transfer."""
+    import jax
+    import numpy as np
+
+    from deepmod_tpu.engine.detect import WindowPredictor
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+
+    config = BiLSTMConfig(num_input=57)
+    params = init_bilstm_params(jax.random.PRNGKey(9), config)
+    rng = np.random.default_rng(13)
+    rows = 700
+    feats = np.zeros((rows, 57), np.float32)
+    feats[:, :50] = rng.integers(0, 40, (rows, 50))
+    hot = rng.integers(0, 5, rows)
+    for b in range(4):
+        feats[hot == b, 50 + b] = 1.0
+    feats[:, 54] = (rng.standard_normal(rows) * 2).round(3)
+    feats[:, 55] = np.abs(rng.standard_normal(rows) * 2).round(3)
+    feats[:, 56] = rng.integers(1, 40, rows)
+    centers = np.arange(12, rows - 12, dtype=np.int64)
+    kw = dict(buckets=(64, 256), data_parallel=False)
+    for use_pallas in (False, True):
+        packed = WindowPredictor(
+            params, config, use_pallas=use_pallas,
+            compact_transfer=True, **kw,
+        )
+        assert packed._pack_hist
+        win = WindowPredictor(
+            params, config, use_pallas=use_pallas,
+            compact_transfer=False, **kw,
+        )
+        got = packed.predict_from_features(feats, centers)
+        assert "hist" in packed._compact_fns  # the packed fn really ran
+        want = win.predict_from_features(feats, centers)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"pallas={use_pallas}"
+        )
+        # engine path (assume_packable skips the integrality scan but
+        # NOT the <256 gate)
+        got_a = packed.predict_from_features(
+            feats, centers, assume_packable=True
+        )
+        np.testing.assert_array_equal(got_a, want)
+
+        # a single count >= 256 must fall back (and stay correct)
+        big = feats.copy()
+        big[5, 3] = 300.0
+        got_b = packed.predict_from_features(
+            big, centers, assume_packable=True
+        )
+        assert False in packed._compact_fns
+        np.testing.assert_array_equal(
+            got_b, win.predict_from_features(big, centers),
+            err_msg=f"fallback>=256 pallas={use_pallas}",
+        )
+        # fractional histogram values: verification path falls back
+        frac = feats.copy()
+        frac[7, 2] = 1.5
+        got_f = packed.predict_from_features(frac, centers)
+        np.testing.assert_array_equal(
+            got_f, win.predict_from_features(frac, centers),
+            err_msg=f"fallback-frac pallas={use_pallas}",
+        )

@@ -128,3 +128,63 @@ def test_detect_with_host_pool(server_setup, tmp_path_factory):
         assert len(r3["reads"]) == 1
     finally:
         svc2.close()
+
+
+def test_concurrent_requests_coalesce(server_setup):
+    """N concurrent requests return the same answers as serial ones, and
+    the device stage coalesces them into fewer predictor calls."""
+    from deepmod_tpu.serve import DetectService
+
+    base_url, reads = server_setup
+    out = None
+    for r in reads:
+        cand = os.path.join(
+            os.path.dirname(os.path.dirname(r.path)), "ref.fa"
+        )
+        if os.path.exists(cand):
+            out = os.path.dirname(cand)
+            break
+    assert out is not None
+    svc = DetectService(
+        os.path.join(out, "ref.fa"), os.path.join(out, "m.npz"),
+        align_str="builtin", precision="fp32",
+    )
+    try:
+        paths = [r.path for r in reads]
+        serial = {p: svc.detect([p]) for p in paths}
+
+        calls = []
+        orig = svc._coalescer._predictor.predict_from_features
+
+        def counting(*a, **k):
+            calls.append(len(a[1]))
+            return orig(*a, **k)
+
+        svc._coalescer._predictor.predict_from_features = counting
+        # stall the dispatcher with a first request so the others queue
+        # up behind it and must coalesce into one device call
+        results = {}
+        errs = []
+
+        def hit(p):
+            try:
+                results[p] = svc.detect([p])
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [
+            threading.Thread(target=hit, args=(p,)) for p in paths * 2
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        for p in paths:
+            assert results[p]["reads"] == serial[p]["reads"]
+            assert results[p]["positions"] == serial[p]["positions"]
+        # 6 requests must have needed fewer device calls than requests
+        assert 1 <= len(calls) < len(threads), calls
+    finally:
+        svc._coalescer._predictor.predict_from_features = orig
+        svc.close()
