@@ -323,3 +323,177 @@ def write_bam(
         for i in range(0, len(payload), chunk):
             fh.write(_bgzf_block(bytes(payload[i : i + chunk])))
         fh.write(_BGZF_EOF)
+
+
+# ---------------------------------------------------------------------------
+# Basecall tables from dorado-style BAMs: per-read sequence + move table
+# (``mv:B:c`` — first element is the model stride, then one 0/1 flag per
+# signal block) and the signal trim offset (``ts:i``). This is the modern
+# ONT basecall convention; paired with a .pod5 it replaces the fast5
+# Move/Segmentation datasets (io.fast5.read_pod5_batch).
+
+
+class BasecallRecord:
+    __slots__ = ("read_id", "seq", "stride", "moves", "trim")
+
+    def __init__(self, read_id, seq, stride, moves, trim):
+        self.read_id = read_id
+        self.seq = seq
+        self.stride = stride
+        self.moves = moves
+        self.trim = trim
+
+
+def _scan_aux(rec: bytes, off: int) -> Dict[bytes, object]:
+    """All aux tags of one BAM record -> {tag: value} (B arrays as
+    numpy; unknown value types abort the scan)."""
+    out: Dict[bytes, object] = {}
+    n = len(rec)
+    while off + 3 <= n:
+        tag = rec[off : off + 2]
+        val_type = chr(rec[off + 2])
+        off += 3
+        if val_type == "B":
+            sub = chr(rec[off])
+            (count,) = struct.unpack_from("<i", rec, off + 1)
+            off += 5
+            width = _ARRAY_SIZES.get(sub)
+            if width is None:
+                break
+            dt = {"c": np.int8, "C": np.uint8, "s": np.int16,
+                  "S": np.uint16, "i": np.int32, "I": np.uint32,
+                  "f": np.float32}[sub]
+            out[tag] = np.frombuffer(rec, dt, count, off)
+            off += width * count
+        elif val_type in ("Z", "H"):
+            end = rec.find(b"\x00", off)
+            if end < 0:
+                break
+            out[tag] = rec[off:end].decode()
+            off = end + 1
+        elif val_type == "A":
+            out[tag] = chr(rec[off])
+            off += 1
+        else:
+            width = _TAG_SIZES.get(val_type)
+            if width is None:
+                break
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H",
+                   "i": "i", "I": "I", "f": "f"}[val_type]
+            out[tag] = struct.unpack_from("<" + fmt, rec, off)[0]
+            off += width
+    return out
+
+
+def read_basecalls(path: str) -> Dict[str, BasecallRecord]:
+    """read_id -> BasecallRecord from a BAM (or SAM/.sam.gz) carrying
+    mv/ts tags. Records without an mv tag are skipped; unmapped (flag 4)
+    records are included — a basecall BAM need not be aligned."""
+    out: Dict[str, BasecallRecord] = {}
+    if not path.endswith(".bam"):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as fh:  # type: ignore[operator]
+            for line in fh:
+                if line.startswith("@"):
+                    continue
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 11 or int(parts[1]) & _SKIP_FLAGS:
+                    continue
+                mv = None
+                ts = 0
+                for tagf in parts[11:]:
+                    if tagf.startswith("mv:B:c,"):
+                        mv = np.asarray(
+                            [int(x) for x in tagf[7:].split(",")], np.int8
+                        )
+                    elif tagf.startswith("ts:i:"):
+                        ts = int(tagf[5:])
+                if mv is not None and len(mv) >= 2:
+                    out[parts[0]] = BasecallRecord(
+                        parts[0], parts[9], int(mv[0]),
+                        np.asarray(mv[1:], np.int64), ts,
+                    )
+        return out
+
+    with gzip.open(path, "rb") as fh:
+        if _read_exact(fh, 4) != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file (bad magic)")
+        (l_text,) = struct.unpack("<i", _read_exact(fh, 4))
+        _read_exact(fh, l_text)
+        (n_ref,) = struct.unpack("<i", _read_exact(fh, 4))
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", _read_exact(fh, 4))
+            _read_exact(fh, l_name + 4)
+        while True:
+            head = fh.read(4)
+            if not head:
+                break
+            (block_size,) = struct.unpack("<i", head)
+            rec = _read_exact(fh, block_size)
+            (_ref_id, _pos, l_read_name, _mapq, _bin, n_cigar, flag,
+             l_seq, _nr, _np_, _tl) = struct.unpack("<iiBBHHHiiii", rec[:32])
+            if flag & _SKIP_FLAGS:
+                continue
+            off = 32
+            qname = rec[off : off + l_read_name - 1].decode()
+            off += l_read_name + 4 * n_cigar
+            n_seq_bytes = (l_seq + 1) // 2
+            seq_packed = rec[off : off + n_seq_bytes]
+            seq_chars = []
+            for byte in seq_packed:
+                seq_chars.append(_SEQ_CODES[byte >> 4])
+                seq_chars.append(_SEQ_CODES[byte & 0xF])
+            seq = "".join(seq_chars[:l_seq])
+            aux = _scan_aux(rec, off + n_seq_bytes + l_seq)
+            mv = aux.get(b"mv")
+            if mv is None or len(mv) < 2:
+                continue
+            out[qname] = BasecallRecord(
+                qname, seq, int(mv[0]),
+                np.asarray(mv[1:], np.int64), int(aux.get(b"ts", 0)),
+            )
+    return out
+
+
+def write_basecall_bam(
+    path: str,
+    reads: Iterable[Tuple[str, str, int, "np.ndarray", int]],
+) -> None:
+    """Fixture/export writer: unmapped records with mv:B:c + ts:i tags.
+
+    ``reads``: (read_id, seq, stride, moves 0/1 array, trim_samples).
+    """
+    payload = bytearray()
+    payload += b"BAM\x01"
+    header_text = b"@HD\tVN:1.6\n"
+    payload += struct.pack("<i", len(header_text)) + header_text
+    payload += struct.pack("<i", 0)  # no references (unmapped basecalls)
+    for read_id, seq, stride, moves, trim in reads:
+        name = read_id.encode() + b"\x00"
+        packed = bytearray((len(seq) + 1) // 2)
+        for i, base in enumerate(seq):
+            code = _SEQ_CODES.index(base) if base in _SEQ_CODES else 15
+            packed[i // 2] |= code << (4 if i % 2 == 0 else 0)
+        mv = np.concatenate(
+            [[np.int8(stride)], np.asarray(moves, np.int8)]
+        ).astype(np.int8)
+        aux = (
+            b"mvBc" + struct.pack("<i", len(mv)) + mv.tobytes()
+            + b"tsi" + struct.pack("<i", int(trim))
+        )
+        body = (
+            struct.pack(
+                "<iiBBHHHiiii", -1, -1, len(name), 255, 0, 0, 4,
+                len(seq), -1, -1, 0,
+            )
+            + name
+            + bytes(packed)
+            + b"\xff" * len(seq)
+            + aux
+        )
+        payload += struct.pack("<i", len(body)) + body
+    with open(path, "wb") as fh:
+        chunk = 60 * 1024
+        for i in range(0, len(payload), chunk):
+            fh.write(_bgzf_block(bytes(payload[i : i + chunk])))
+        fh.write(_BGZF_EOF)

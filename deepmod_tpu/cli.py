@@ -121,6 +121,7 @@ def cmd_detect(args) -> int:
         target_only=bool(args.targetOnly),
         strict_ref_clips=bool(args.strictRefClips),
         host_shard=_parse_host_shard(args.hostShard),
+        basecalls=args.basecalls or "",
     )
     result = detect_run(config)
     print(
@@ -489,6 +490,13 @@ def build_parser() -> argparse.ArgumentParser:
         "reference; 0: keep those reads with self-consistent windows "
         "(more coverage; the accounting the reference's own getfeatures "
         "variant uses)",
+    )
+    p.add_argument(
+        "--basecalls", default=None, metavar="calls.bam",
+        help="dorado-style basecall BAM/SAM (mv:B:c + ts:i tags) "
+        "enabling .pod5 inputs under --wrkBase (beyond the reference: "
+        "pod5 carries raw signal only, so sequence + move tables come "
+        "from the basecall file)",
     )
     p.add_argument(
         "--hostShard", default=None, metavar="I:N",

@@ -115,6 +115,10 @@ class DetectConfig:
     # density) that shipping materialized windows moves fewer bytes AND
     # less compute — see WindowPredictor.predict_from_features.
     target_only: bool = False
+    # dorado-style basecall BAM/SAM (mv:B:c + ts:i tags) enabling .pod5
+    # inputs under wrk_base (pod5 carries raw signal only; beyond the
+    # reference, which scopes pod5 out — io/pod5.py)
+    basecalls: str = ""
     # replicate the reference detect path's swapped minus-strand trim
     # accounting, which drops firstmatch!=tail '-' reads as 'Error Does
     # not match' (~2-3% of reads; see align/cigar.py docstring). False
@@ -666,11 +670,14 @@ class WindowPredictor:
 
 
 def discover_fast5(wrk_base: str, recursive: bool = True) -> List[str]:
-    """Glob fast5 files up to 4 levels deep (myDetect.py:1142-1146)."""
-    files = glob.glob(os.path.join(wrk_base, "*.fast5"))
-    if recursive:
-        for depth in ("*/*.fast5", "*/*/*.fast5", "*/*/*/*.fast5"):
-            files.extend(glob.glob(os.path.join(wrk_base, depth)))
+    """Glob fast5 (and pod5) files up to 4 levels deep
+    (myDetect.py:1142-1146; .pod5 is beyond the reference)."""
+    files = []
+    for ext in ("*.fast5", "*.pod5"):
+        files.extend(glob.glob(os.path.join(wrk_base, ext)))
+        if recursive:
+            for depth in ("*/", "*/*/", "*/*/*/"):
+                files.extend(glob.glob(os.path.join(wrk_base, depth + ext)))
     return files
 
 
@@ -689,6 +696,7 @@ def _host_options(config: DetectConfig):
         basecall_2strand=config.basecall_2strand,
         signal_group=config.signal_group,
         move=config.move,
+        basecalls=config.basecalls,
         min_events=50,
         cpg_canonicalize=True,
         strict_ref_clips=config.strict_ref_clips,

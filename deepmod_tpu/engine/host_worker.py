@@ -40,6 +40,9 @@ class HostOptions:
     min_events: int = 50
     cpg_canonicalize: bool = True
     strict_ref_clips: bool = True
+    # dorado-style basecall BAM/SAM for .pod5 inputs (mv/ts tags)
+    basecalls: str = ""
+
 
 
 @dataclasses.dataclass
@@ -121,6 +124,7 @@ def host_process_files(
         basecall_2strand=opts.basecall_2strand,
         signal_group=opts.signal_group,
         move=opts.move,
+        basecalls=opts.basecalls or None,
     )
     f5data = read_fast5_batch(paths, read_opts, errors)
     if not f5data:

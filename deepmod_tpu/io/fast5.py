@@ -42,6 +42,10 @@ class Fast5ReadOptions:
     basecall_2strand: str = "BaseCalled_template"
     signal_group: str = "simple"  # 'simple' or 'rundif'
     move: bool = False
+    # basecall source for .pod5 inputs (pod5 carries raw signal only):
+    # a dorado-style BAM/SAM whose records hold seq + mv:B:c + ts:i
+    # (align.alignfile.read_basecalls); ignored for fast5 inputs
+    basecalls: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -224,6 +228,17 @@ def _ingest_read(
     )
 
 
+_BASECALL_CACHE: Dict[str, Dict] = {}
+
+
+def _basecall_cache(path: str, loader) -> Dict:
+    """Per-process cache of parsed basecall BAMs (one scan per worker,
+    like the aligner index)."""
+    if path not in _BASECALL_CACHE:
+        _BASECALL_CACHE[path] = loader(path)
+    return _BASECALL_CACHE[path]
+
+
 def read_fast5_file(
     path: str, options: Fast5ReadOptions | None = None
 ) -> Fast5Read:
@@ -308,6 +323,69 @@ def _peek_version(path: str, options: "Fast5ReadOptions") -> Optional[str]:
         return None
 
 
+def read_pod5_batch(
+    path: str,
+    options: Fast5ReadOptions,
+    errors: ErrorCensus,
+    basecalls: Dict[str, "object"],
+) -> Dict[str, Fast5Read]:
+    """Ingest one .pod5 (beyond the reference, which scopes pod5 out —
+    README.md:24): raw signal + calibration from the container
+    (io.pod5), per-read sequence/move-table/trim from a dorado-style
+    basecall BAM (``basecalls`` from align.alignfile.read_basecalls).
+    Downstream is the SAME move-table path fast5 Move datasets take
+    (events.move_table_events with the mv-tag stride, then
+    normalize_and_event_stats), so predictions are identical for
+    identical signal + moves."""
+    import uuid as uuid_mod
+
+    from deepmod_tpu.io.pod5 import read_pod5
+
+    out: Dict[str, Fast5Read] = {}
+    try:
+        pod_reads = read_pod5(path)
+    except Exception:
+        errors.add("Cannot open fast5 or other errors", path)
+        return out
+    for pr in pod_reads:
+        read_id = str(uuid_mod.UUID(bytes=pr.read_id))
+        bc = basecalls.get(read_id)
+        if bc is None:
+            errors.add("No move data", f"{path}:{read_id}")
+            continue
+        try:
+            # pod5 signal is raw ADC int16, same integers a fast5
+            # Raw/Signal dataset holds — the normalizer consumes them
+            # identically
+            raw_signals = np.asarray(pr.signal)
+            m_event, skip = move_table_events(
+                bc.moves, raw_signals, bc.seq, bc.trim, stride=bc.stride
+            )
+            span_start = int(m_event["start"][0])
+            span_end = int(m_event["start"][-1] + m_event["length"][-1])
+            raw_signals, m_event, n_valid = normalize_and_event_stats(
+                m_event, raw_signals, span_start, span_end, in_place=True
+            )
+            basecall = bc.seq[:n_valid] if n_valid < len(bc.seq) else bc.seq
+        except (EventError, SignalRangeError) as exc:
+            errors.add(str(exc), f"{path}:{read_id}")
+            continue
+        except Exception:
+            errors.add("Cannot open fast5 or other errors",
+                       f"{path}:{read_id}")
+            continue
+        out[read_id] = Fast5Read(
+            read_id=read_id,
+            basecall=basecall,
+            m_event=m_event,
+            raw_signals=raw_signals,
+            path=path,
+            left_right_skip=skip,
+            albacore_version="pod5",
+        )
+    return out
+
+
 def read_fast5_batch(
     paths: List[str],
     options: Fast5ReadOptions | None = None,
@@ -317,9 +395,33 @@ def read_fast5_batch(
     """Ingest a batch; failures are recorded, never fatal
     (get_Event_Signals, myDetect.py:348-386). ``version_census``
     accumulates basecaller-version counts like the reference's version_Q
-    (myGetFeatureBasedPos.py:580-582)."""
+    (myGetFeatureBasedPos.py:580-582). ``.pod5`` containers are
+    auto-detected and ingested through read_pod5_batch when
+    ``options.basecalls`` names a basecall BAM/SAM."""
     errors = errors if errors is not None else ErrorCensus()
     out: Dict[str, Fast5Read] = {}
+    pod5_paths = [p for p in paths if p.endswith(".pod5")]
+    if pod5_paths:
+        opts0 = options or Fast5ReadOptions()
+        if opts0.basecalls:
+            from deepmod_tpu.align.alignfile import read_basecalls
+
+            bc_map = _basecall_cache(opts0.basecalls, read_basecalls)
+            for path in pod5_paths:
+                for read_id, read in read_pod5_batch(
+                    path, opts0, errors, bc_map
+                ).items():
+                    if read_id in out:
+                        errors.add("Duplicate id", path)
+                    out[read_id] = read
+                    if version_census is not None:
+                        version_census["pod5"] = (
+                            version_census.get("pod5", 0) + 1
+                        )
+        else:
+            for path in pod5_paths:
+                errors.add("No move data", path)  # pod5 without basecalls
+        paths = [p for p in paths if not p.endswith(".pod5")]
     # Native C reader is on by default (+~45% ingest throughput); set
     # DMT_NATIVE_FAST5=0 to force the h5py path. Every native failure —
     # including EventError — retries through h5py, so the native path can

@@ -513,3 +513,49 @@ def generate_dataset(
             SimulatedRead(read_id, chrom, strand, start, segment, seq, path)
         )
     return genome, reads
+
+
+def convert_move_dataset_to_pod5(
+    fast5_dir: str, out_pod5: str, out_bam: str
+) -> Dict[str, str]:
+    """Repackage a move-style fast5 dataset as the modern ONT stack:
+    one .pod5 (raw signal, io.pod5) + a dorado-style basecall BAM
+    (seq + mv:B:c stride/moves + ts:i trim, align.alignfile).
+
+    The signal/move/trim/sequence are copied bit-for-bit, so a detect
+    run over the pod5+BAM pair must produce BEDs identical to the
+    fast5 run (pinned by tests/test_pod5.py). Returns
+    {original_read_id: pod5_uuid} (pod5 read ids are 16-byte UUIDs;
+    originals are arbitrary strings, mapped via uuid5).
+    """
+    import glob as globmod
+    import uuid as uuid_mod
+
+    import h5py
+
+    from deepmod_tpu.align.alignfile import write_basecall_bam
+    from deepmod_tpu.io.pod5 import write_pod5
+
+    pod_reads = []
+    bam_reads = []
+    id_map: Dict[str, str] = {}
+    for path in sorted(
+        globmod.glob(os.path.join(fast5_dir, "**", "*.fast5"),
+                     recursive=True)
+    ):
+        with h5py.File(path, "r") as fh:
+            tmpl = fh["Analyses/Basecall_1D_000/BaseCalled_template"]
+            fastq = tmpl["Fastq"][()].decode().split("\n")
+            read_id, seq = fastq[0][1:], fastq[1]
+            move = np.asarray(tmpl["Move"][()], np.int64)
+            seg = fh["Analyses/Segmentation_000/Summary/segmentation"]
+            first = int(seg.attrs["first_sample_template"])
+            raw = next(iter(fh["Raw/Reads"].values()))
+            signal = np.asarray(raw["Signal"][()], np.int16)
+        rid = uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, read_id)
+        id_map[read_id] = str(rid)
+        pod_reads.append((rid.bytes, signal))
+        bam_reads.append((str(rid), seq, 2, move, first))
+    write_pod5(out_pod5, pod_reads)
+    write_basecall_bam(out_bam, bam_reads)
+    return id_map
