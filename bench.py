@@ -511,7 +511,12 @@ def child_train(out_path: str) -> int:
 
     backend = jax.default_backend()
     config = BiLSTMConfig(num_input=7)
-    init_params = init_bilstm_params(jax.random.PRNGKey(0), config)
+    # host-side copy: the train step DONATES its params/opt_state, which
+    # would delete the one device-resident init tree after the first
+    # sweep entry ("Array has been deleted")
+    init_params = jax.tree.map(
+        np.asarray, init_bilstm_params(jax.random.PRNGKey(0), config)
+    )
     use_pallas = backend == "tpu"
     optimizer = optax.adam(1e-3)
     step = make_train_step(
