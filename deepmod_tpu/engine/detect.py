@@ -238,11 +238,17 @@ class WindowPredictor:
         # >=256 count falls back to the unpacked transfer) they ride as
         # uint8 alongside the one-hot code: 57 B/row vs 114 B in bf16.
         # uint8 -> bf16 is exact for ints < 256 (8 significand bits), so
-        # predictions stay bit-identical. Equality pinned by
-        # tests/test_detect_e2e.py; measured scripts/probe_compact_pack.py.
+        # predictions stay bit-identical. OPT-IN (DMT_COMPACT_PACK57=1):
+        # the same-process chip A/B (scripts/probe_compact_pack.py
+        # --fnum 57, round 5) measured the packed path 0.73x — the
+        # device-side u8->bf16 assemble costs more than the byte cut
+        # saves on this latency-floored tunnel. The halved transfer
+        # targets bandwidth-bound PCIe/ICI infeed; equality stays pinned
+        # (tests/test_detect_e2e.py, multichip dryrun) so flipping the
+        # default is a one-line measurement away on real hardware.
         self._pack_hist = (
             config.num_input == 57
-            and os.environ.get("DMT_COMPACT_PACK", "1") != "0"
+            and os.environ.get("DMT_COMPACT_PACK57", "0") == "1"
         )
         self._compact_fns: dict = {}
         # host->device payload bytes dispatched (features/windows only;

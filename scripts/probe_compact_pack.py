@@ -56,11 +56,14 @@ def main() -> None:
     feats[:, onehot0 + 6] = rng.randint(4, 40, rows)
     centers = np.arange(16, rows - 16, dtype=np.int64)
 
+    if args.fnum == 57:
+        os.environ["DMT_COMPACT_PACK57"] = "1"
     packed = WindowPredictor(
         params, config, buckets=(bucket,), precision=precision,
         compact_transfer=True, data_parallel=False,
     )
     os.environ["DMT_COMPACT_PACK"] = "0"
+    os.environ.pop("DMT_COMPACT_PACK57", None)
     plain = WindowPredictor(
         params, config, buckets=(bucket,), precision=precision,
         compact_transfer=True, data_parallel=False,

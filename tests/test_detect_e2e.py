@@ -799,6 +799,10 @@ def test_predictor_packed_hist_equality():
     from deepmod_tpu.engine.detect import WindowPredictor
     from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
 
+    import os
+
+    os.environ["DMT_COMPACT_PACK57"] = "1"  # opt-in (chip A/B: 0.73x on
+    #                                         the tunnel; see detect.py)
     config = BiLSTMConfig(num_input=57)
     params = init_bilstm_params(jax.random.PRNGKey(9), config)
     rng = np.random.default_rng(13)
@@ -855,3 +859,4 @@ def test_predictor_packed_hist_equality():
             got_f, win.predict_from_features(frac, centers),
             err_msg=f"fallback-frac pallas={use_pallas}",
         )
+    del os.environ["DMT_COMPACT_PACK57"]
