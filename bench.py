@@ -353,6 +353,8 @@ def child_e2e(out_path: str) -> int:
                 config, out_folder=os.path.join(ds, f"out_{tag}"),
                 **overrides,
             )
+            # a crashed earlier run can leave corrupt outputs here
+            shutil.rmtree(cfg.out_folder, ignore_errors=True)
             p = predictor if pred is None else pred
             bytes0 = p.transfer_bytes
             t0 = time.perf_counter()

@@ -195,7 +195,17 @@ def write_batch_outputs(
     if opts.write_per_read:
         import h5py
 
-        pred_fh = h5py.File(pred_file, "a")
+        try:
+            pred_fh = h5py.File(pred_file, "a")
+        except OSError:
+            # a crashed previous run can leave a truncated predetail file
+            # ("truncated file: eof = ..."); this run owns the batch-id
+            # namespace, so recreate rather than fail the whole batch
+            try:
+                os.unlink(pred_file)
+            except OSError:
+                pass
+            pred_fh = h5py.File(pred_file, "w")
     try:
         for readk_ind, item in enumerate(results):
             n_aligned = item.n_aligned

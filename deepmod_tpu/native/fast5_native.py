@@ -114,11 +114,40 @@ def native_fast5_available() -> bool:
     return bool(_ensure_init())
 
 
+def _hdf5_lock():
+    """libhdf5 is NOT thread-safe and this reader dlopens the very same
+    library h5py bundles. h5py serializes all ITS calls behind a global
+    FastRLock ('phil'), but a native read on another thread bypasses it —
+    in the single-process detect path the ingest prefetch thread raced
+    the predetail h5py writer thread and segfaulted inside libhdf5
+    (observed on the 800-read bench cohort, round 5; dmesg
+    'segfault ... in libhdf5'). Taking phil around every native file
+    read serializes correctly with ALL in-process h5py usage; in pool
+    workers it is uncontended (~ns)."""
+    global _HDF5_LOCK
+    if _HDF5_LOCK is None:
+        try:
+            from h5py._objects import phil as _HDF5_LOCK  # noqa: N813
+        except Exception:  # h5py internals moved: lock native-vs-native
+            import threading
+
+            _HDF5_LOCK = threading.RLock()
+    return _HDF5_LOCK
+
+
+_HDF5_LOCK = None
+
+
 def read_fast5_native(path: str, options=None):
     """Native-IO twin of io.fast5.read_fast5_file; returns Fast5Read or
     raises the same error classes. None when the native path is absent."""
     if not _ensure_init():
         return None
+    with _hdf5_lock():
+        return _read_fast5_native_locked(path, options)
+
+
+def _read_fast5_native_locked(path: str, options=None):
     from deepmod_tpu.io.events import (
         EventError,
         collapse_events_v2,
