@@ -227,6 +227,7 @@ def cmd_getfeatures(args) -> int:
         signal_group=args.SignalGroup,
         move=args.move,
         align_str=args.alignStr,
+        basecalls=args.basecalls or "",
         recursive=bool(args.recursive),
         files_per_batch=args.files_per_thread,
         save_format=args.save_format,
@@ -538,6 +539,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fulmod", type=str)
     p.add_argument("--anymod", type=str)
     p.add_argument("--nomod", type=str)
+    p.add_argument(
+        "--basecalls", default=None, metavar="calls.bam",
+        help="dorado-style basecall BAM/SAM (mv:B:c + ts:i) enabling "
+        ".pod5 inputs under --wrkBase (same path as detect)",
+    )
     p.add_argument(
         "--save_format", default="xy.gz", choices=["xy.gz", "npz", "both"]
     )

@@ -56,6 +56,9 @@ class GetFeaturesConfig:
     signal_group: str = "simple"
     move: bool = False
     align_str: str = "auto"
+    # dorado-style basecall BAM/SAM (mv/ts tags) enabling .pod5 inputs
+    # under wrk_base (beyond the reference; same path as detect)
+    basecalls: str = ""
     recursive: bool = True
     files_per_batch: int = 1000
     save_format: str = "xy.gz"         # 'xy.gz' | 'npz' | 'both'
@@ -202,6 +205,7 @@ def _gf_process_batch(batch_id: int, batch: List[str]):
         basecall_2strand=config.basecall_2strand,
         signal_group=config.signal_group,
         move=config.move,
+        basecalls=config.basecalls or None,
     )
     folder = os.path.join(config.out_folder, str(batch_id))
     os.makedirs(folder, exist_ok=True)
@@ -283,6 +287,7 @@ def getfeatures_run(config: GetFeaturesConfig) -> GetFeaturesResult:
         basecall_2strand=config.basecall_2strand,
         signal_group=config.signal_group,
         move=config.move,
+        basecalls=config.basecalls or None,
     )
     files = sorted(discover_fast5(config.wrk_base, config.recursive))
     aligner = get_aligner(config.ref, config.align_str, ref_seqs=fadict)

@@ -229,3 +229,61 @@ def test_pod5_without_basecalls_errors(tmp_path):
     out = read_fast5_batch([p], errors=errors)
     assert out == {}
     assert "No move data" in errors.errors
+
+
+def test_getfeatures_from_pod5_matches_fast5(tmp_path):
+    """getfeatures over pod5+BAM writes feature files identical to the
+    move-fast5 run (training from the modern stack)."""
+    import gzip
+    import glob
+
+    from deepmod_tpu.engine.getfeatures import (
+        GetFeaturesConfig,
+        getfeatures_run,
+    )
+    from deepmod_tpu.testing.synthetic import (
+        SynthConfig,
+        convert_move_dataset_to_pod5,
+        generate_dataset,
+    )
+
+    out = str(tmp_path / "ds")
+    generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrP": 12000}, num_reads=4,
+                    read_length=(600, 900), seed=31, fast5_style="move"),
+    )
+    pod_dir = str(tmp_path / "pod_in")
+    os.makedirs(pod_dir)
+    bam_path = str(tmp_path / "calls.bam")
+    convert_move_dataset_to_pod5(
+        os.path.join(out, "fast5"),
+        os.path.join(pod_dir, "reads.pod5"), bam_path,
+    )
+
+    def rows_of(folder):
+        rows = []
+        for path in sorted(glob.glob(os.path.join(folder, "**", "*.xy.gz"),
+                                     recursive=True)):
+            with gzip.open(path, "rt") as fh:
+                rows.extend(fh.read().splitlines())
+        return sorted(rows)
+
+    base = dict(
+        ref=os.path.join(out, "ref.fa"), posneg=1, motif="CG",
+        move=True, align_str="builtin",
+    )
+    r1 = getfeatures_run(GetFeaturesConfig(
+        wrk_base=os.path.join(out, "fast5"),
+        out_folder=str(tmp_path / "feat_f5"), **base,
+    ))
+    r2 = getfeatures_run(GetFeaturesConfig(
+        wrk_base=pod_dir, basecalls=bam_path,
+        out_folder=str(tmp_path / "feat_pod"), **base,
+    ))
+    assert r1.num_reads == r2.num_reads > 0
+    assert r1.num_rows == r2.num_rows
+    # identical feature ROWS (file grouping may differ; read ids do)
+    assert rows_of(str(tmp_path / "feat_f5")) == rows_of(
+        str(tmp_path / "feat_pod")
+    )
