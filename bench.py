@@ -521,16 +521,27 @@ def child_train(out_path: str) -> int:
     )
     use_pallas = backend == "tpu"
     optimizer = optax.adam(1e-3)
-    step = make_train_step(
-        config, optimizer, unbalanced=False, use_pallas=use_pallas
+    steps = {}
+
+    def step_for(prec):
+        if prec not in steps:
+            steps[prec] = make_train_step(
+                config, optimizer, unbalanced=False,
+                use_pallas=use_pallas, precision=prec,
+            )
+        return steps[prec]
+
+    # batch 2048/fp32 first: the reference-parity default whose fields
+    # the record keeps stable; then TPU-native sizes (VERDICT r4 #5) and
+    # the bf16-storage mode (round 5: 1.50x at 65536, loss delta 1e-5 —
+    # scripts/probe_train_bf16.py; neutral at the latency-bound 2048).
+    # Results written incrementally: a sweep cut short by a watchdog
+    # still leaves the parity number.
+    batches = (
+        [(2048, "fp32"), (65536, "bf16"), (65536, "fp32"),
+         (16384, "fp32")]
+        if backend == "tpu" else [(256, "fp32")]
     )
-    # batch 2048 first: the reference-parity default whose fields the
-    # record keeps stable; then TPU-native sizes (VERDICT r4 #5 — at 2048
-    # the step is launch/latency-dominated and says nothing about what
-    # the chip can train at; linear-lr scaling applies when raising the
-    # batch, docs/Validation.md). Results written incrementally: a sweep
-    # cut short by a watchdog still leaves the parity number.
-    batches = [2048, 65536, 16384] if backend == "tpu" else [256]
     useful_fpw, _ = model_flops_per_window()
     # fwd+bwd matmul FLOPs ~ 3x forward (each gate GEMM differentiates
     # into dX and dW GEMMs of equal size); the same readout-cone step
@@ -543,7 +554,8 @@ def child_train(out_path: str) -> int:
            "train_flops_per_window": train_fpw,
            "train_sweep": {}}
 
-    for batch in batches:
+    for batch, prec in batches:
+        tag = str(batch) if prec == "fp32" else f"{batch}-{prec}"
         params = jax.device_put(init_params)
         opt_state = jax.device_put(optimizer.init(init_params))
         x = jax.random.normal(
@@ -557,9 +569,10 @@ def child_train(out_path: str) -> int:
         )
         mask = jnp.ones((batch,), jnp.float32)
         print(f"bench train: compiling train step at batch {batch} "
-              "(minutes cold on the remote compile helper)",
+              f"({prec}; minutes cold on the remote compile helper)",
               file=sys.stderr, flush=True)
         try:
+            step = step_for(prec)
             params, opt_state, loss = step(params, opt_state, x, y, mask)
             np.asarray(loss)  # honest sync (block_until_ready lies here)
             iters = max(4, min(TRAIN_ITERS, TRAIN_ITERS * 2048 // batch))
@@ -570,36 +583,37 @@ def child_train(out_path: str) -> int:
             np.asarray(loss)
             dt = time.perf_counter() - t0
         except Exception as exc:
-            print(f"bench train: batch {batch} failed: "
+            print(f"bench train: batch {batch} ({prec}) failed: "
                   f"{type(exc).__name__}: {str(exc)[:160]}",
                   file=sys.stderr, flush=True)
             rec.setdefault("train_errors", []).append(
-                f"b{batch}: {type(exc).__name__}")
+                f"b{batch}-{prec}: {type(exc).__name__}")
             continue
         rate = iters / dt
         wps = rate * batch
         mfu = round(wps * train_fpw / peak, 4) if peak else None
-        print(f"bench train: {rate:,.1f} steps/s at batch {batch} "
+        print(f"bench train: {rate:,.1f} steps/s at batch {batch} {prec} "
               f"({wps:,.0f} windows/s"
               + (f", mfu {mfu}" if mfu is not None else "") + ")",
               file=sys.stderr, flush=True)
-        rec["train_sweep"][str(batch)] = {
+        rec["train_sweep"][tag] = {
             "steps_per_s": round(rate, 1),
             "windows_per_s": round(wps, 1),
             "mfu": mfu,
+            "precision": prec,
         }
-        if batch == batches[0]:
+        if (batch, prec) == batches[0]:
             rec.update({
                 "train_steps_per_s": round(rate, 1),
                 "train_batch": batch,
                 "train_windows_per_s": round(wps, 1),
             })
         # train_mfu / best fields track the sweep's best throughput
-        best_b, best = max(
+        best_tag, best = max(
             rec["train_sweep"].items(),
             key=lambda kv: kv[1]["windows_per_s"],
         )
-        rec["train_best_batch"] = int(best_b)
+        rec["train_best_config"] = best_tag
         rec["train_best_windows_per_s"] = best["windows_per_s"]
         if best["mfu"] is not None:
             rec["train_mfu"] = best["mfu"]

@@ -291,7 +291,7 @@ def bilstm_predict(
 
 def bilstm_logits_trainable(
     params: Params, x: jax.Array, config: BiLSTMConfig,
-    use_pallas: bool = False, tile_b: int = 0,
+    use_pallas: bool = False, tile_b: int = 0, precision: str = "fp32",
 ) -> jax.Array:
     """Differentiable logits; with use_pallas the recurrence runs through
     the custom-VJP fused kernels (ops.bilstm_fused_train) so BOTH the
@@ -299,7 +299,12 @@ def bilstm_logits_trainable(
 
     tile_b 0 auto-selects: 128 on the chip (+14% step rate vs 64 at
     batch 2048, measured v5e; 256 fails to compile), 64 under interpret
-    (less padding for small test batches)."""
+    (less padding for small test batches).
+
+    precision 'bf16' stores the kernel's residual/gradient sequences in
+    bfloat16 (fp32 compute/carries/weight-grads — bf16-checkpointed
+    activations); fp32 (default) is the mode pinned against jax.grad of
+    the scan path."""
     if use_pallas:
         from deepmod_tpu.ops.bilstm_fused_train import bilstm_fused_center_train
 
@@ -309,7 +314,7 @@ def bilstm_logits_trainable(
         feats = bilstm_fused_center_train(
             params, x, config.num_layers, config.num_hidden,
             config.timesteps, config.forget_bias, tile_b,
-            not on_tpu,
+            not on_tpu, precision,
         )
     else:
         feats = bilstm_center_features(params, x, config)

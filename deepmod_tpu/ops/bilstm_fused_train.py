@@ -77,21 +77,25 @@ def _fwd_kernel(
         new_h = jnp.tanh(new_c) * _sigmoid(o)
         return new_h, new_c
 
+    out_dt = h_fw_out.dtype
     n_steps = timesteps if stop_after is None else stop_after
     for t in range(n_steps):
-        x_fw = in_fw_ref[pl.ds(t, 1), :, :][0]
+        x_fw = in_fw_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
         t_bw = (timesteps - 1 - t) if reverse_bw_read else t
-        x_bw = in_bw_ref[pl.ds(t_bw, 1), :, :][0]
+        x_bw = in_bw_ref[pl.ds(t_bw, 1), :, :][0].astype(jnp.float32)
         nh_fw, nc_fw = cell(x_fw, h_fw[...], c_fw[...], wx_fw_ref, wh_fw_ref, b_fw_ref)
         nh_bw, nc_bw = cell(x_bw, h_bw[...], c_bw[...], wx_bw_ref, wh_bw_ref, b_bw_ref)
+        # recurrence carries stay fp32 in scratch; only the STORED
+        # sequences round to the storage dtype (bf16 mode), like
+        # bf16-checkpointed activations
         h_fw[...] = nh_fw
         c_fw[...] = nc_fw
         h_bw[...] = nh_bw
         c_bw[...] = nc_bw
-        h_fw_out[pl.ds(t, 1), :, :] = nh_fw[None]
-        h_bw_out[pl.ds(t, 1), :, :] = nh_bw[None]
-        c_fw_out[pl.ds(t, 1), :, :] = nc_fw[None]
-        c_bw_out[pl.ds(t, 1), :, :] = nc_bw[None]
+        h_fw_out[pl.ds(t, 1), :, :] = nh_fw.astype(out_dt)[None]
+        h_bw_out[pl.ds(t, 1), :, :] = nh_bw.astype(out_dt)[None]
+        c_fw_out[pl.ds(t, 1), :, :] = nc_fw.astype(out_dt)[None]
+        c_bw_out[pl.ds(t, 1), :, :] = nc_bw.astype(out_dt)[None]
 
 
 def _run_fwd_layer(in_fw, in_bw, weights, timesteps, forget_bias,
@@ -104,7 +108,9 @@ def _run_fwd_layer(in_fw, in_bw, weights, timesteps, forget_bias,
     )
     w_spec = pl.BlockSpec((LANE, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    seq_shape = jax.ShapeDtypeStruct((timesteps, batch_p, LANE), jnp.float32)
+    # residual sequences inherit the input's storage dtype (bf16 mode
+    # halves the dominant VMEM/HBM traffic; compute stays fp32)
+    seq_shape = jax.ShapeDtypeStruct((timesteps, batch_p, LANE), in_fw.dtype)
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, timesteps=timesteps, forget_bias=forget_bias,
@@ -152,15 +158,15 @@ def _bwd_kernel(
     if stop_after is not None:
         for t in range(stop_after, timesteps):
             dx_ref[pl.ds(t, 1), :, :] = jnp.zeros(
-                (1,) + dh_carry.shape, dh_carry.dtype
+                (1,) + dh_carry.shape, dx_ref.dtype
             )
 
     for t in range(start, -1, -1):
-        x_t = x_ref[pl.ds(t, 1), :, :][0]
-        c_t = c_ref[pl.ds(t, 1), :, :][0]
+        x_t = x_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+        c_t = c_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
         if t > 0:
-            h_prev = h_ref[pl.ds(t - 1, 1), :, :][0]
-            c_prev = c_ref[pl.ds(t - 1, 1), :, :][0]
+            h_prev = h_ref[pl.ds(t - 1, 1), :, :][0].astype(jnp.float32)
+            c_prev = c_ref[pl.ds(t - 1, 1), :, :][0].astype(jnp.float32)
         else:
             h_prev = zeros_state
             c_prev = zeros_state
@@ -175,7 +181,10 @@ def _bwd_kernel(
         f = _sigmoid(gates[:, 2 * LANE : 3 * LANE] + forget_bias)
         o = _sigmoid(gates[:, 3 * LANE : 4 * LANE])
 
-        dh_total = dh_in_ref[pl.ds(t, 1), :, :][0] + dh_carry[...]
+        dh_total = (
+            dh_in_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+            + dh_carry[...]
+        )
         tanh_c = jnp.tanh(c_t)
         do = dh_total * tanh_c
         dc = dc_carry[...] + dh_total * o * (1.0 - tanh_c * tanh_c)
@@ -194,7 +203,7 @@ def _bwd_kernel(
         )
         dx_ref[pl.ds(t, 1), :, :] = jnp.dot(
             da, wxt_ref[...], preferred_element_type=jnp.float32
-        )[None]
+        ).astype(dx_ref.dtype)[None]
         dh_carry[...] = jnp.dot(
             da, wht_ref[...], preferred_element_type=jnp.float32
         )
@@ -235,7 +244,9 @@ def _run_bwd_layer(x_seq, h_seq, c_seq, dh_seq, wx, wh, b, timesteps,
             pl.BlockSpec((1, GATES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((timesteps, batch_p, LANE), jnp.float32),
+            # dx inherits the sequence storage dtype (it becomes the
+            # next layer's dh stream); weight grads stay fp32
+            jax.ShapeDtypeStruct((timesteps, batch_p, LANE), x_seq.dtype),
             jax.ShapeDtypeStruct((LANE, GATES), jnp.float32),
             jax.ShapeDtypeStruct((LANE, GATES), jnp.float32),
             jax.ShapeDtypeStruct((1, GATES), jnp.float32),
@@ -276,7 +287,7 @@ def _unpad_kernel_grad(dwx, dwh, db, in_dim: int, h: int):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8)
 )
 def bilstm_fused_center_train(
     params: Dict[str, Any],
@@ -287,20 +298,29 @@ def bilstm_fused_center_train(
     forget_bias: float = 1.0,
     tile_b: int = 64,
     interpret: bool = False,
+    precision: str = "fp32",
 ) -> jnp.ndarray:
+    """``precision='bf16'`` stores the inter-layer/residual sequences
+    (and the dh/dx gradient streams) in bfloat16 while every gate GEMM,
+    recurrence carry, and weight gradient stays fp32 — the
+    bf16-checkpointed-activations recipe. Halves the sequence traffic
+    that bounds the fused VJP (docs/Validation.md round-5 sweep).
+    fp32 stays the default: it is the mode pinned against jax.grad of
+    the scan path."""
     out, _ = _fwd(params, x, num_layers, num_hidden, timesteps, forget_bias,
-                  tile_b, interpret)
+                  tile_b, interpret, precision)
     return out
 
 
 def _fwd(params, x, num_layers, num_hidden, timesteps, forget_bias, tile_b,
-         interpret):
+         interpret, precision="fp32"):
     batch, t, in_dim = x.shape
     assert t == timesteps
+    storage_dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     batch_p = _round_up(max(batch, 1), tile_b)
     x_pad = jnp.moveaxis(
         jnp.pad(
-            x.astype(jnp.float32),
+            x.astype(storage_dt),
             ((0, batch_p - batch), (0, 0), (0, LANE - in_dim)),
         ),
         1, 0,
@@ -335,19 +355,20 @@ def _fwd(params, x, num_layers, num_hidden, timesteps, forget_bias, tile_b,
 
 
 def _bwd(num_layers, num_hidden, timesteps, forget_bias, tile_b, interpret,
-         res, g):
+         precision, res, g):
     params, x, residuals = res
     batch, _, in_dim = x.shape
     batch_p = residuals[0][0].shape[1]
     h = num_hidden
+    storage_dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     center = timesteps // 2
     bw_center = center if timesteps % 2 == 1 else timesteps - 1 - center
 
     # seed dh streams for the top layer: center timestep only
-    dh_fw = jnp.zeros((timesteps, batch_p, LANE), jnp.float32)
-    dh_bw = jnp.zeros((timesteps, batch_p, LANE), jnp.float32)
-    dh_fw = dh_fw.at[center, :batch, :h].set(g[:, :h].astype(jnp.float32))
-    dh_bw = dh_bw.at[bw_center, :batch, :h].set(g[:, h:].astype(jnp.float32))
+    dh_fw = jnp.zeros((timesteps, batch_p, LANE), storage_dt)
+    dh_bw = jnp.zeros((timesteps, batch_p, LANE), storage_dt)
+    dh_fw = dh_fw.at[center, :batch, :h].set(g[:, :h].astype(storage_dt))
+    dh_bw = dh_bw.at[bw_center, :batch, :h].set(g[:, h:].astype(storage_dt))
 
     d_params = {
         "fw": [dict() for _ in range(num_layers)],

@@ -51,6 +51,12 @@ class TrainConfig:
     log_every: int = 10
     mesh_axis: str = "data"
     use_pallas: Optional[bool] = None  # None: pallas on TPU
+    # 'bf16' stores the fused VJP's residual/gradient sequences in
+    # bfloat16 (fp32 compute/carries/weight grads): 1.50x step rate at
+    # batch 65536 on v5e, loss delta 1e-5 (probe_train_bf16.py). fp32
+    # default = the mode pinned against jax.grad of the scan path and
+    # the reference's own arithmetic.
+    precision: str = "fp32"
 
 
 class TrainState:
@@ -89,6 +95,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     use_pallas: bool = False,
+    precision: str = "fp32",
 ) -> Callable:
     """Jitted (params, opt_state, x, y, mask) -> (params, opt_state, loss).
 
@@ -102,7 +109,8 @@ def make_train_step(
 
     def _weighted_per_example(params, x, y, use_pallas_here):
         logits = bilstm_logits_trainable(
-            params, x, model_config, use_pallas=use_pallas_here
+            params, x, model_config, use_pallas=use_pallas_here,
+            precision=precision,
         )
         if unbalanced:
             from deepmod_tpu.models.bilstm import CLASS_WEIGHTS
@@ -238,7 +246,7 @@ def train_run(
         use_pallas = jax.default_backend() == "tpu"
     step_fn = make_train_step(
         model_config, optimizer, config.unbalanced, mesh, config.mesh_axis,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, precision=config.precision,
     )
 
     split = TestSplit.parse(config.test)
