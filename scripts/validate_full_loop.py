@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--fnum", type=int, default=7, choices=(7, 57),
                     help="57 adds the 50-bin signal histogram features "
                          "(myDetect.py:885-891)")
+    ap.add_argument("--trainPrecision", default="fp32",
+                    choices=("fp32", "bf16"),
+                    help="fused-VJP sequence-storage precision for BOTH "
+                         "train phases (bf16: round-5 1.5x mode — this "
+                         "flag exists for the convergence study)")
     ap.add_argument("--labels", default="motif", choices=("motif", "pos"),
                     help="'pos' drives the bisulfite-style position-file "
                          "label path (--motifORPos 2 with fulmod/anymod/"
@@ -144,6 +149,7 @@ def main() -> None:
         ] + label_flags + fnum)
 
     # 2. train: 4 plain epochs, then resume class-weighted
+    prec = ["--trainPrecision", args.trainPrecision]
     train1 = os.path.join(base, "train1")
     run(py + [
         "train",
@@ -151,7 +157,7 @@ def main() -> None:
         os.path.join(base, "feat_train_mod") + ";" +
         os.path.join(base, "feat_train_ctl"),
         "--outFolder", train1, "--FileID", "m",
-    ] + fnum)
+    ] + fnum + prec)
     ckpt1 = os.path.join(train1, "4", "m.npz")
     train2 = os.path.join(base, "train2")
     run(py + [
@@ -161,7 +167,7 @@ def main() -> None:
         os.path.join(base, "feat_train_ctl"),
         "--outFolder", train2, "--FileID", "m",
         "--modfile", ckpt1, "--unbalanced", "1",
-    ] + fnum)
+    ] + fnum + prec)
     model = os.path.join(train2, "4", "m.npz")
 
     # 3. detect on held-out sets
@@ -196,6 +202,7 @@ def main() -> None:
                 pass
     print(json.dumps({"full_loop_metrics": metrics, "fnum": args.fnum,
                       "labels": args.labels,
+                      "train_precision": args.trainPrecision,
                       "total_s": round(time.time() - t_start, 1)}))
 
 
