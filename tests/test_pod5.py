@@ -287,3 +287,51 @@ def test_getfeatures_from_pod5_matches_fast5(tmp_path):
     assert rows_of(str(tmp_path / "feat_f5")) == rows_of(
         str(tmp_path / "feat_pod")
     )
+
+
+def test_cli_detect_pod5_with_basecalls(tmp_path):
+    """The --basecalls flag reaches the engine through the CLI layer."""
+    import subprocess
+    import sys
+
+    from deepmod_tpu.testing.synthetic import (
+        SynthConfig,
+        convert_move_dataset_to_pod5,
+        generate_dataset,
+    )
+
+    out = str(tmp_path / "ds")
+    generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrP": 9000}, num_reads=3,
+                    read_length=(500, 800), seed=37, fast5_style="move"),
+    )
+    pod_dir = str(tmp_path / "pod_in")
+    os.makedirs(pod_dir)
+    bam = str(tmp_path / "calls.bam")
+    convert_move_dataset_to_pod5(
+        os.path.join(out, "fast5"), os.path.join(pod_dir, "r.pod5"), bam
+    )
+    import jax
+
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+    from deepmod_tpu.models.tf_import import save_bilstm_npz
+
+    cfg = BiLSTMConfig(num_input=7)
+    model = str(tmp_path / "m.npz")
+    save_bilstm_npz(model, init_bilstm_params(jax.random.PRNGKey(0), cfg), cfg)
+    env = dict(os.environ, DMT_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "deepmod_tpu", "detect",
+         "--wrkBase", pod_dir, "--basecalls", bam,
+         "--Ref", os.path.join(out, "ref.fa"), "--modfile", model,
+         "--outFolder", str(tmp_path / "o"), "--FileID", "mod",
+         "--Base", "C", "--precision", "fp32"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "detect done: 3 reads" in proc.stdout
+    import glob as globmod
+
+    assert globmod.glob(str(tmp_path / "o" / "mod_pos.*.bed"))

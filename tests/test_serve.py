@@ -188,3 +188,47 @@ def test_concurrent_requests_coalesce(server_setup):
     finally:
         svc._coalescer._predictor.predict_from_features = orig
         svc.close()
+
+
+def test_coalescer_delivers_errors_to_all_waiters():
+    """A predictor exception inside the coalesced device call must reach
+    every waiting request (and not kill the dispatcher)."""
+    import queue
+
+    import numpy as np
+
+    from deepmod_tpu.serve import _DeviceCoalescer
+
+    class BoomPredictor:
+        config = None
+
+        def predict_from_features(self, *a, **k):
+            raise RuntimeError("boom")
+
+    class FakeResult:
+        n_aligned = 3
+
+    coal = _DeviceCoalescer.__new__(_DeviceCoalescer)
+    coal._predictor = BoomPredictor()
+    coal._q = queue.Queue()
+    import threading as _t
+
+    coal._thread = _t.Thread(target=coal._loop, daemon=True)
+    coal._thread.start()
+    try:
+        backs = []
+        for _ in range(3):
+            b = queue.Queue()
+            coal._q.put(([FakeResult()], b))
+            backs.append(b)
+        for b in backs:
+            out = b.get(timeout=10)
+            assert isinstance(out, Exception)  # boom or the batch-build
+            #                                     error, either way delivered
+        # dispatcher survives: an empty request still answers
+        b = queue.Queue()
+        coal._q.put(([], b))
+        out = b.get(timeout=10)
+        assert isinstance(out, np.ndarray) and len(out) == 0
+    finally:
+        coal.close()
