@@ -576,12 +576,21 @@ def child_train(out_path: str) -> int:
             params, opt_state, loss = step(params, opt_state, x, y, mask)
             np.asarray(loss)  # honest sync (block_until_ready lies here)
             iters = max(4, min(TRAIN_ITERS, TRAIN_ITERS * 2048 // batch))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                params, opt_state, loss = step(params, opt_state, x, y, mask)
-            # the params chain serializes every step; one transfer syncs
-            np.asarray(loss)
-            dt = time.perf_counter() - t0
+            # best of two timing loops: a single slow tunnel round trip
+            # can halve a short measurement (2048 swung 165-443 steps/s
+            # between runs); the best pass is the honest device rate
+            dt = None
+            for _pass in range(2):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    params, opt_state, loss = step(
+                        params, opt_state, x, y, mask
+                    )
+                # the params chain serializes every step; one transfer
+                # syncs
+                np.asarray(loss)
+                d = time.perf_counter() - t0
+                dt = d if dt is None else min(dt, d)
         except Exception as exc:
             print(f"bench train: batch {batch} ({prec}) failed: "
                   f"{type(exc).__name__}: {str(exc)[:160]}",
