@@ -406,7 +406,15 @@ def read_fast5_batch(
         if opts0.basecalls:
             from deepmod_tpu.align.alignfile import read_basecalls
 
-            bc_map = _basecall_cache(opts0.basecalls, read_basecalls)
+            try:
+                bc_map = _basecall_cache(opts0.basecalls, read_basecalls)
+            except Exception:
+                # a missing/corrupt basecall file fails every pod5 of
+                # the batch, censused per file like any other bad input
+                for path in pod5_paths:
+                    errors.add("Cannot open fast5 or other errors", path)
+                bc_map = None
+                pod5_paths = []
             for path in pod5_paths:
                 for read_id, read in read_pod5_batch(
                     path, opts0, errors, bc_map

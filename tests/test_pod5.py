@@ -335,3 +335,85 @@ def test_cli_detect_pod5_with_basecalls(tmp_path):
     import glob as globmod
 
     assert globmod.glob(str(tmp_path / "o" / "mod_pos.*.bed"))
+
+
+def test_arrow_property_random_tables():
+    """Property test: random column collections of every supported kind
+    round-trip through write_arrow_file/read_arrow_file exactly (the
+    flatbuffer builder's alignment/vtable logic must hold for arbitrary
+    field counts, row counts — incl. 0 — and value ranges)."""
+    rng = np.random.default_rng(17)
+    kinds = ["fsb16", "large_list_u64", "uint32", "uint64", "float32",
+             "int16", "uint16", "utf8", "large_binary", "large_list_i16"]
+    for trial in range(25):
+        n_rows = int(rng.integers(0, 40))
+        n_cols = int(rng.integers(1, 7))
+        cols = []
+        for ci in range(n_cols):
+            kind = kinds[int(rng.integers(0, len(kinds)))]
+            name = f"c{ci}_{kind}"
+            if kind == "fsb16":
+                vals = [bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+                        for _ in range(n_rows)]
+            elif kind == "large_list_u64":
+                vals = [list(rng.integers(0, 2**63, rng.integers(0, 5)))
+                        for _ in range(n_rows)]
+            elif kind == "large_list_i16":
+                vals = [rng.integers(-32768, 32767, rng.integers(0, 9))
+                        .astype(np.int16) for _ in range(n_rows)]
+            elif kind == "utf8":
+                vals = ["x" * int(rng.integers(0, 23)) for _ in range(n_rows)]
+            elif kind == "large_binary":
+                vals = [bytes(rng.integers(0, 256, rng.integers(0, 31),
+                                           dtype=np.uint8))
+                        for _ in range(n_rows)]
+            elif kind == "float32":
+                vals = rng.standard_normal(n_rows).astype(np.float32)
+            else:
+                info = np.iinfo({"uint32": np.uint32, "uint64": np.uint64,
+                                 "int16": np.int16, "uint16": np.uint16}[kind])
+                vals = rng.integers(info.min, int(info.max) + 1, n_rows,
+                                    dtype=np.int64 if info.min < 0
+                                    else np.uint64)
+            cols.append(Column(name, kind, list(vals)))
+        blob = write_arrow_file(cols)
+        out = read_arrow_file(blob)
+        assert len(out) == n_cols, (trial, sorted(out))
+        for col in cols:
+            got = out[col.name]
+            want = col.values
+            assert len(got) == n_rows, (trial, col.name)
+            for g, w in zip(got, want):
+                if isinstance(w, (bytes, str)):
+                    assert g == w, (trial, col.name)
+                elif np.ndim(w) > 0 or isinstance(w, list):
+                    np.testing.assert_array_equal(
+                        np.asarray(g, np.int64), np.asarray(w, np.int64),
+                        err_msg=f"{trial} {col.name}")
+                elif col.kind == "float32":
+                    assert g == np.float32(w), (trial, col.name)
+                else:
+                    assert int(g) == int(w), (trial, col.name, g, w)
+
+
+def test_pod5_truncated_file_fails_cleanly(tmp_path):
+    """Mid-file truncation must surface as an exception (not garbage
+    reads) and the batch reader must census it, not crash."""
+    from deepmod_tpu.io.fast5 import read_fast5_batch, Fast5ReadOptions
+    from deepmod_tpu.utils import ErrorCensus
+
+    rng = np.random.RandomState(1)
+    p = str(tmp_path / "t.pod5")
+    write_pod5(p, [(uuid.uuid4().bytes,
+                    rng.randint(-100, 100, 5000).astype(np.int16))])
+    data = open(p, "rb").read()
+    cut = str(tmp_path / "cut.pod5")
+    with open(cut, "wb") as fh:
+        fh.write(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        read_pod5(cut)
+    errors = ErrorCensus()
+    out = read_fast5_batch(
+        [cut], Fast5ReadOptions(basecalls="/nonexistent.bam"), errors
+    )
+    assert out == {} and errors.errors
